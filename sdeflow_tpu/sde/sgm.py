@@ -1,0 +1,110 @@
+"""Variance-preserving (Song et al. 2021) additive SDE — the "SGM" model.
+
+TPU-native rewrite of the reference's `SGMsde` (reference: SDEs.py:161-215).
+Closed-form perturbation kernel, Gaussian latent, isotropic diagonal
+diffusion. Pure pytree dataclass; all sampling takes explicit PRNG keys.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from sdeflow_tpu.sde.base import SDEBehavior, _tcol
+
+LOG_2PI = math.log(2.0 * math.pi)
+
+
+@struct.dataclass
+class SGMSde(SDEBehavior):
+    """dY = −½β(t)Y dt + √β(t) dB (VP-SDE, eq. 32-33 of Song et al. 2021)."""
+
+    beta_min: jnp.ndarray
+    beta_max: jnp.ndarray
+    T: jnp.ndarray
+    t_epsilon: jnp.ndarray
+    num_steps_forward: int = struct.field(pytree_node=False, default=100)
+
+    # static metadata
+    norm_correction: bool = struct.field(pytree_node=False, default=False)
+    name: str = struct.field(pytree_node=False, default="SGM")
+
+    @classmethod
+    def create(
+        cls,
+        beta_min=0.1,
+        beta_max=20.0,
+        T=1.0,
+        t_epsilon=0.001,
+        num_steps_forward=100,
+        dtype=jnp.float32,
+    ):
+        return cls(
+            beta_min=jnp.asarray(beta_min, dtype),
+            beta_max=jnp.asarray(beta_max, dtype),
+            T=jnp.asarray(T, dtype),
+            t_epsilon=jnp.asarray(t_epsilon, dtype),
+            num_steps_forward=int(num_steps_forward),
+        )
+
+    @property
+    def dim(self):
+        return None  # dimension-agnostic
+
+    # -- closed-form moments (reference SDEs.py:177-181) --------------------
+    def mean_weight(self, t):
+        return jnp.exp(
+            -0.25 * t**2 * (self.beta_max - self.beta_min) - 0.5 * t * self.beta_min
+        )
+
+    def var(self, t):
+        return 1.0 - jnp.exp(
+            -0.5 * t**2 * (self.beta_max - self.beta_min) - t * self.beta_min
+        )
+
+    # -- drift / diffusion (reference SDEs.py:183-194) ----------------------
+    def f(self, t, y):
+        return -0.5 * self.beta(_tcol(t, y)) * y
+
+    def f_strato(self, t, y):
+        return -0.5 * self.beta(_tcol(t, y)) * y
+
+    def div_sigma(self, t, y):
+        return jnp.zeros_like(y)
+
+    def g_diag(self, t, y):
+        """Diagonal of g (isotropic): √β(t) · 1."""
+        return jnp.ones_like(y) * jnp.sqrt(self.beta(_tcol(t, y)))
+
+    def sigma_apply(self, t, y, w):
+        """g(t,y) · w for isotropic diagonal diffusion."""
+        return jnp.sqrt(self.beta(_tcol(t, y))) * w
+
+    # -- forward perturbation (reference SDEs.py:196-199) -------------------
+    def sample(self, key, t, y0, return_noise=False):
+        return self.sample_song_et_al(key, t, y0, return_noise=return_noise)
+
+    # -- latent prior (reference SDEs.py:201-215) ---------------------------
+    def latent_sample(self, key, num_samples, n):
+        return jax.random.normal(key, (num_samples, n), dtype=jnp.float32)
+
+    def cond_latent_sample(self, key, t, x):
+        """Conditional latent y_T | x via the forward kernel at T."""
+        tT = jnp.full((x.shape[0],), 1.0, dtype=x.dtype) * self.T
+        return self.sample(key, tT, x)
+
+    def log_latent_pdf(self, yT):
+        """Per-dimension standard-normal log density (B, d).
+
+        Reproduces the reference's `log_normal` with its eps=1e-5 smoothing
+        (reference: SDEs.py:209-215).
+        """
+        return self.log_normal(yT, jnp.zeros_like(yT), jnp.zeros_like(yT))
+
+    @staticmethod
+    def log_normal(x, mean, log_var, eps=1e-5):
+        z = -0.5 * LOG_2PI
+        return -((x - mean) ** 2) / (2.0 * jnp.exp(log_var) + eps) - log_var / 2.0 + z
