@@ -1,0 +1,94 @@
+"""Shared neural-net primitives for the score networks.
+
+TPU-native counterparts of the reference's `model/nn_utils.py` and the small
+helpers in NN.py:
+
+- sinusoidal timestep embedding (reference: model/nn_utils.py:130-148)
+- GroupNorm with fp32 statistics (reference GroupNorm32, model/nn_utils.py:39-41)
+- zero-initialized output layers (reference zero_module, model/nn_utils.py:151-157)
+- the non-learnable NormalizeLogRadius premodule x ↦ (x/‖x‖, log‖x‖)
+  (reference: NN.py:56-70)
+
+Gradient checkpointing is `nn.remat` at the call site (the reference rolls a
+custom autograd.Function, model/nn_utils.py:8-36 — `jax.checkpoint` is the
+native equivalent and composes with jit/scan).
+
+Layout convention: channels-last (NLC / NHWC) throughout — the layout XLA:TPU
+prefers — where the torch reference is channels-first.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def normalize_log_radius(x, eps=1e-6):
+    """x ↦ (x/‖x‖, log‖x‖), norms over the last axis (reference: NN.py:56-70)."""
+    norm = jnp.linalg.norm(x, axis=-1, keepdims=True) + eps
+    return x / norm, jnp.log(norm)
+
+
+def timestep_embedding(timesteps, dim, max_period=10000):
+    """Sinusoidal timestep embeddings, [cos | sin] ordering like the
+    reference (model/nn_utils.py:130-148). timesteps: (B,) possibly
+    fractional; returns (B, dim) float32."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    embedding = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        embedding = jnp.concatenate(
+            [embedding, jnp.zeros_like(embedding[:, :1])], axis=-1
+        )
+    return embedding
+
+
+def zero_init():
+    """Initializer for zero-initialized output convs/denses
+    (reference zero_module)."""
+    return nn.initializers.zeros
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm over min(32, C) groups with statistics computed in fp32
+    (reference: model/nn_utils.py:39-41, 107-114). Channels-last.
+
+    When min(32, C) does not divide C (possible at U-Net skip concats with
+    small base widths; torch's GroupNorm would reject such configs just like
+    flax's) we fall back to the largest divisor of C that is ≤ 32 — identical
+    to the reference on every configuration the reference can instantiate.
+    """
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        groups = min(self.channels, 32)
+        while self.channels % groups != 0:
+            groups -= 1
+        orig_dtype = x.dtype
+        h = nn.GroupNorm(num_groups=groups, dtype=jnp.float32, name="norm")(
+            x.astype(jnp.float32)
+        )
+        return h.astype(orig_dtype)
+
+
+class TimeMLP(nn.Module):
+    """Two-layer time/scale embedding MLP: Dense → act → Dense
+    (reference: model/unet.py:339-343, NNUnet1D.py:53-57)."""
+
+    emb_dim: int
+    act: str = "silu"
+
+    @nn.compact
+    def __call__(self, h):
+        act = {"silu": nn.silu, "gelu": nn.gelu}[self.act]
+        h = nn.Dense(self.emb_dim, name="dense0")(h)
+        h = act(h)
+        return nn.Dense(self.emb_dim, name="dense1")(h)

@@ -1,0 +1,367 @@
+"""ADM-style U-Net with attention and timestep embedding.
+
+TPU-native rewrite of the reference's `model/unet.py` (UNetModel, ResBlock,
+AttentionBlock/QKVAttention, Upsample/Downsample, ConditionalModel). Design
+differences from the torch original:
+
+- channels-last (NHWC) layout — XLA:TPU's preferred conv layout — instead of
+  NCHW; convolutions and the qkv projection map straight onto the MXU.
+- gradient checkpointing is `nn.remat` on the residual/attention blocks
+  (reference: custom CheckpointFunction, model/nn_utils.py:8-36), composing
+  with jit and scan.
+- `learn_potential` (score = ∇ₓ of a scalar potential, reference
+  model/unet.py:492-511) is a plain `jax.grad` of the potential path via
+  `potential_score` — no manual autograd bookkeeping or grad zeroing.
+- supports dims ∈ {1, 2} (the reference's conv_nd also offers 3D; nothing in
+  the reference exercises it).
+
+Parity map (reference file:line):
+  UNetModel        model/unet.py:276-552
+  ResBlock         model/unet.py:101-195
+  AttentionBlock   model/unet.py:198-273
+  Upsample         model/unet.py:40-72 (nearest×2 + conv, odd-size crop)
+  Downsample       model/unet.py:75-98 (stride-2 conv or avg-pool)
+  ConditionalModel model/unet.py:555-574
+  get_feature_vectors -> __call__(..., return_features=True)
+                   model/unet.py:519-552
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sdeflow_tpu.models.common import GroupNorm32, timestep_embedding, zero_init
+
+
+def _kernel(dims, k):
+    return (k,) * dims
+
+
+class Upsample(nn.Module):
+    channels: int
+    use_conv: bool
+    dims: int = 2
+    odd_size: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        assert x.shape[-1] == self.channels
+        for axis in range(1, 1 + self.dims):  # nearest-neighbor ×2
+            x = jnp.repeat(x, 2, axis=axis)
+        if self.use_conv:
+            x = nn.Conv(
+                self.channels, _kernel(self.dims, 3), padding="SAME", name="conv"
+            )(x)
+        if self.odd_size:
+            sl = (slice(None),) + (slice(None, -1),) * self.dims + (slice(None),)
+            x = x[sl]
+        return x
+
+
+class Downsample(nn.Module):
+    channels: int
+    use_conv: bool
+    dims: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        assert x.shape[-1] == self.channels
+        if self.use_conv:
+            return nn.Conv(
+                self.channels,
+                _kernel(self.dims, 3),
+                strides=_kernel(self.dims, 2),
+                padding=((1, 1),) * self.dims,
+                name="op",
+            )(x)
+        return nn.avg_pool(x, _kernel(self.dims, 2), strides=_kernel(self.dims, 2))
+
+
+class ResBlock(nn.Module):
+    """Residual block conditioned on a timestep embedding
+    (reference: model/unet.py:101-195). `deterministic` is a module field so
+    the call signature stays array-only (remat-friendly)."""
+
+    channels: int
+    emb_channels: int
+    dropout: float = 0.0
+    out_channels: Optional[int] = None
+    use_conv: bool = False
+    use_scale_shift_norm: bool = False
+    dims: int = 2
+    no_bias_last_layer: bool = False
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x, emb):
+        out_ch = self.out_channels or self.channels
+
+        h = GroupNorm32(self.channels, name="in_norm")(x)
+        h = nn.silu(h)
+        h = nn.Conv(out_ch, _kernel(self.dims, 3), padding="SAME", name="in_conv")(h)
+
+        emb_out = nn.Dense(
+            2 * out_ch if self.use_scale_shift_norm else out_ch, name="emb_dense"
+        )(nn.silu(emb)).astype(h.dtype)
+        emb_out = emb_out.reshape(emb_out.shape[0], *([1] * self.dims), -1)
+
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            h = GroupNorm32(out_ch, name="out_norm")(h) * (1 + scale) + shift
+        else:
+            h = h + emb_out
+            h = GroupNorm32(out_ch, name="out_norm")(h)
+        h = nn.silu(h)
+        h = nn.Dropout(self.dropout, deterministic=self.deterministic)(h)
+        h = nn.Conv(
+            out_ch,
+            _kernel(self.dims, 3),
+            padding="SAME",
+            kernel_init=zero_init(),
+            bias_init=zero_init(),
+            use_bias=not self.no_bias_last_layer,
+            name="out_conv",
+        )(h)
+
+        if out_ch == self.channels:
+            skip = x
+        elif self.use_conv:
+            skip = nn.Conv(
+                out_ch, _kernel(self.dims, 3), padding="SAME", name="skip_conv"
+            )(x)
+        else:
+            skip = nn.Conv(
+                out_ch,
+                _kernel(self.dims, 1),
+                use_bias=not self.no_bias_last_layer,
+                name="skip_conv",
+            )(x)
+        return skip + h
+
+
+class AttentionBlock(nn.Module):
+    """Spatial self-attention over the flattened feature map
+    (reference: model/unet.py:198-250). The √√c scaling is applied to q and k
+    before the matmul for low-precision stability, like the reference; the
+    softmax accumulates in fp32."""
+
+    channels: int
+    num_heads: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        b, *spatial, c = x.shape
+        assert c == self.channels and c % self.num_heads == 0
+        t = 1
+        for s in spatial:
+            t *= s
+        x_flat = x.reshape(b, t, c)
+        h = GroupNorm32(c, name="norm")(x_flat)
+        qkv = nn.Dense(3 * c, name="qkv")(h)  # 1×1 conv ≡ Dense over channels
+        ch = c // self.num_heads
+        qkv = qkv.reshape(b, t, self.num_heads, 3 * ch)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(ch, jnp.float32)))
+        w = jnp.einsum("bthc,bshc->bhts", q * scale, k * scale)
+        w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(qkv.dtype)
+        out = jnp.einsum("bhts,bshc->bthc", w, v).reshape(b, t, c)
+        out = nn.Dense(
+            c, kernel_init=zero_init(), bias_init=zero_init(), name="proj_out"
+        )(out)
+        return (x_flat + out).reshape(b, *spatial, c)
+
+
+class UNetModel(nn.Module):
+    """The full U-Net with attention and timestep embedding
+    (reference: model/unet.py:276-552). Channels-last: x is
+    (B, *spatial, in_channels); timesteps is (B,).
+
+    Static call modes (one compact method; unused branches create no params):
+      __call__(..., potential_only=True)  -> scalar potential (middle mean)
+      __call__(..., return_features=True) -> dict(down/middle/up/out)
+    """
+
+    in_channels: int
+    model_channels: int
+    out_channels: int
+    in_space: int
+    num_res_blocks: int
+    attention_resolutions: Sequence[int]
+    dropout: float = 0.0
+    channel_mult: Tuple[int, ...] = (1, 2, 4, 8)
+    conv_resample: bool = True
+    dims: int = 2
+    num_classes: Optional[int] = None
+    use_checkpoint: bool = False
+    num_heads: int = 1
+    num_heads_upsample: int = -1
+    use_scale_shift_norm: bool = False
+    learn_potential: bool = False
+
+    def _res_block(self, name, deterministic, **kw):
+        cls = nn.remat(ResBlock) if self.use_checkpoint else ResBlock
+        return cls(
+            dims=self.dims,
+            dropout=self.dropout,
+            use_scale_shift_norm=self.use_scale_shift_norm,
+            deterministic=deterministic,
+            name=name,
+            **kw,
+        )
+
+    def _attn_block(self, ch, heads, name):
+        cls = nn.remat(AttentionBlock) if self.use_checkpoint else AttentionBlock
+        return cls(channels=ch, num_heads=heads, name=name)
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        timesteps,
+        y=None,
+        extra_emb=None,
+        deterministic=True,
+        potential_only=False,
+        return_features=False,
+    ):
+        time_embed_dim = self.model_channels * 4
+        num_heads_up = (
+            self.num_heads if self.num_heads_upsample == -1 else self.num_heads_upsample
+        )
+
+        # --- embedding (reference model/unet.py:338-346, 469-473) ---
+        emb = timestep_embedding(timesteps, self.model_channels)
+        emb = nn.Dense(time_embed_dim, name="time_embed_0")(emb)
+        emb = nn.silu(emb)
+        emb = nn.Dense(time_embed_dim, name="time_embed_1")(emb)
+        if self.num_classes is not None:
+            assert y is not None and y.shape == (emb.shape[0],)
+            emb = emb + nn.Embed(self.num_classes, time_embed_dim, name="label_emb")(y)
+        if extra_emb is not None:
+            emb = emb + extra_emb
+
+        # --- encoder (reference model/unet.py:352-389, 475-479) ---
+        ch = self.model_channels * self.channel_mult[0]
+        h = nn.Conv(ch, _kernel(self.dims, 3), padding="SAME", name="conv_in")(x)
+        hs = [h]
+        ds = 1
+        block_id = 0
+        for level, mult in enumerate(self.channel_mult):
+            for _ in range(self.num_res_blocks):
+                h = self._res_block(
+                    f"down_res{block_id}",
+                    deterministic,
+                    channels=ch,
+                    emb_channels=time_embed_dim,
+                    out_channels=mult * self.model_channels,
+                )(h, emb)
+                ch = mult * self.model_channels
+                if ds in self.attention_resolutions:
+                    h = self._attn_block(ch, self.num_heads, f"down_attn{block_id}")(h)
+                hs.append(h)
+                block_id += 1
+            if level != len(self.channel_mult) - 1:
+                h = Downsample(
+                    ch, self.conv_resample, dims=self.dims, name=f"down_ds{level}"
+                )(h)
+                hs.append(h)
+                ds *= 2
+
+        # --- middle: Res – Attn – Res (reference model/unet.py:391-411) ---
+        h = self._res_block(
+            "mid_res0", deterministic, channels=ch, emb_channels=time_embed_dim
+        )(h, emb)
+        h = self._attn_block(ch, self.num_heads, "mid_attn")(h)
+        h = self._res_block(
+            "mid_res1",
+            deterministic,
+            channels=ch,
+            emb_channels=time_embed_dim,
+            out_channels=1 if self.learn_potential else None,
+            no_bias_last_layer=self.learn_potential,
+        )(h, emb)
+
+        if potential_only or self.learn_potential:
+            # scalar potential: mean of middle features, summed over batch
+            # (reference model/unet.py:498-499)
+            return h.mean(axis=tuple(range(1, h.ndim))).sum()
+
+        features = dict(down=list(hs), middle=h, up=[]) if return_features else None
+
+        # --- decoder (reference model/unet.py:413-446, 513-517) ---
+        shapes = [self.in_space]
+        for _ in range(len(self.channel_mult)):
+            shapes.append(shapes[-1] // 2)
+        block_id = 0
+        for level, mult in reversed(list(enumerate(self.channel_mult))):
+            for i in range(self.num_res_blocks + 1):
+                skip = hs.pop()
+                h = self._res_block(
+                    f"up_res{block_id}",
+                    deterministic,
+                    channels=ch + skip.shape[-1],
+                    emb_channels=time_embed_dim,
+                    out_channels=self.model_channels * mult,
+                )(jnp.concatenate([h, skip], axis=-1), emb)
+                ch = self.model_channels * mult
+                if ds in self.attention_resolutions:
+                    h = self._attn_block(ch, num_heads_up, f"up_attn{block_id}")(h)
+                if level and i == self.num_res_blocks:
+                    h = Upsample(
+                        ch,
+                        self.conv_resample,
+                        dims=self.dims,
+                        odd_size=shapes[level] % 2 == 1,
+                        name=f"up_us{level}",
+                    )(h)
+                    ds //= 2
+                if return_features:
+                    features["up"].append(h)
+                block_id += 1
+
+        out = GroupNorm32(ch, name="out_norm")(h)
+        out = nn.silu(out)
+        out = nn.Conv(
+            self.out_channels,
+            _kernel(self.dims, 3),
+            padding="SAME",
+            kernel_init=zero_init(),
+            bias_init=zero_init(),
+            name="conv_out",
+        )(out)
+        if return_features:
+            features["out"] = out
+            return features
+        return out
+
+
+def potential_score(model, variables, x, timesteps, y=None, extra_emb=None):
+    """Score as the gradient of the learned potential: ∇ₓ Σ_b mean(middle_b)
+    (reference: model/unet.py:492-511, done there with create_graph backward;
+    here a plain jax.grad, which also composes with the SSM-loss JVP)."""
+
+    def pot(xv):
+        return model.apply(
+            variables, xv, timesteps, y=y, extra_emb=extra_emb, potential_only=True
+        )
+
+    return jax.grad(pot)(x)
+
+
+class ConditionalModel(nn.Module):
+    """Conditional denoising: concatenates a same-resolution conditioning
+    image along channels before the core U-Net
+    (reference: model/unet.py:555-574)."""
+
+    core: UNetModel
+
+    @nn.compact
+    def __call__(self, x, timesteps, conditional=None, **kwargs):
+        assert conditional is not None, "ConditionalModel requires `conditional`"
+        return self.core(
+            jnp.concatenate([x, conditional], axis=-1), timesteps, **kwargs
+        )

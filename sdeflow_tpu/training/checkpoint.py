@@ -1,0 +1,63 @@
+"""Checkpoint / resume with full determinism capture.
+
+The reference saves {iteration, model, optimizer, torch/numpy/python RNG
+states} (reference: NN.py:13-42). In JAX the PRNG is an explicit key, so the
+capture is just {TrainState, key, iteration} — saved via orbax, the
+TPU-native async-capable checkpointer.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import orbax.checkpoint as ocp
+
+
+def _abs(path):
+    return os.path.abspath(path)
+
+
+def checkpoint_exists(path) -> bool:
+    return os.path.isdir(_abs(path))
+
+
+def save_checkpoint(path, state, key, iteration) -> None:
+    """Save {train state, PRNG key, iteration} (reference: NN.py:13-22)."""
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(
+            _abs(path),
+            dict(
+                state=jax.device_get(state),
+                key=jax.device_get(jax.random.key_data(key)),
+                iteration=int(iteration),
+            ),
+            force=True,
+        )
+
+
+def load_checkpoint(path, state_template, key_template) -> Tuple:
+    """Restore to the template's structure; returns (state, key, iteration)
+    (reference: NN.py:24-42)."""
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(
+            _abs(path),
+            dict(
+                state=state_template,
+                key=jax.random.key_data(key_template),
+                iteration=0,
+            ),
+        )
+    key = jax.random.wrap_key_data(restored["key"])
+    return restored["state"], key, int(restored["iteration"])
+
+
+def delete_checkpoint(path) -> None:
+    """Remove a rolling checkpoint after a fully successful run
+    (reference: MSGM_higherDim.py:842-847)."""
+    import shutil
+
+    if checkpoint_exists(path):
+        shutil.rmtree(_abs(path))

@@ -1,0 +1,124 @@
+"""End-to-end smoke runs: the reference's BASELINE config #1 (swissroll +
+MLP + SGM + SSM + reverse sampling + √MMD), its MSGM counterpart, and
+checkpoint/resume determinism. (SURVEY.md §4 oracle (h) + §7 step 2.)
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdeflow_tpu.data import SwissRoll, GaussianCauchy
+from sdeflow_tpu.models import MLP
+from sdeflow_tpu.sde import SGMSde, MSGMSde, PluginReverseSDE
+from sdeflow_tpu.training import Trainer, save_checkpoint, load_checkpoint
+from sdeflow_tpu.eval import compute_mmd
+from sdeflow_tpu.ops.integrators import integrate_sde
+
+
+def _mk_sgm_gen(key, sampler, num_steps_forward=16):
+    model = MLP(input_dim=sampler.dim)
+    x0 = sampler.sample(key, 256)
+    variables = model.init(key, x0, jnp.zeros((256,)))
+    sde = SGMSde.create(num_steps_forward=num_steps_forward)
+    return PluginReverseSDE.create(sde, model.apply, variables)
+
+
+def test_swissroll_sgm_end_to_end(rng):
+    """Train 3k steps, sample with EM, require √MMD(gen, test) below a loose
+    threshold above the √MMD(train, test) noise floor."""
+    sampler = SwissRoll()
+    gen = _mk_sgm_gen(rng, sampler)
+    trainer = Trainer(gen, sampler, lr=1e-3, batch_size=256, print_every=10_000)
+    state, final_loss = trainer.run(jax.random.fold_in(rng, 1), 3000)
+
+    n = 4000
+    x0 = state.gen_sde.latent_sample(jax.random.fold_in(rng, 2), n, 2)
+    xgen = jax.jit(
+        lambda g, k, z: integrate_sde(g, z, k, 100, method="em")
+    )(state.gen_sde, jax.random.fold_in(rng, 3), x0)
+    xtest = sampler.sampletest(jax.random.fold_in(rng, 4), n)
+    xtrain = sampler.sample(jax.random.fold_in(rng, 5), n)
+
+    mmd_gen = float(compute_mmd(xgen, xtest)) ** 0.5
+    mmd_floor = float(compute_mmd(xtrain, xtest)) ** 0.5
+    assert np.isfinite(mmd_gen)
+    assert mmd_gen < 0.15, f"sqrt-MMD {mmd_gen} vs floor {mmd_floor}"
+    # training actually reduced the loss vs the first recorded step
+    assert trainer.history[0]["loss"] > final_loss + 1.0 or final_loss < 2.0
+
+
+def test_msgm_gaussian_cauchy_trains(rng):
+    """MSGM path end to end on the heavy-tailed GaussianCauchy toy: forward
+    RK4 scan inside the loss, radial latent prior, norm-corrected reverse
+    RK4. Short run — checks learning signal and finiteness, not quality."""
+    sampler = GaussianCauchy(jax.random.fold_in(rng, 0), dim=2)
+    x_init = sampler.sample(jax.random.fold_in(rng, 1), 2048)
+    sde = MSGMSde.create(
+        jax.random.fold_in(rng, 2),
+        x_init,
+        beta_max=2.0,
+        num_steps_forward=8,
+        norm_map="log",
+    )
+    model = MLP(input_dim=2, premodule="NormalizeLogRadius")
+    variables = model.init(
+        jax.random.fold_in(rng, 3), x_init[:4], jnp.zeros((4,))
+    )
+    gen = PluginReverseSDE.create(sde, model.apply, variables)
+    trainer = Trainer(gen, sampler, lr=1e-3, batch_size=64, print_every=10_000)
+    state, final_loss = trainer.run(jax.random.fold_in(rng, 4), 300)
+    assert np.isfinite(final_loss)
+
+    x0 = state.gen_sde.latent_sample(jax.random.fold_in(rng, 5), 512, 2)
+    xgen = integrate_sde(
+        state.gen_sde,
+        x0,
+        jax.random.fold_in(rng, 6),
+        32,
+        method="rk4",
+        norm_correction=True,
+    )
+    assert bool(jnp.isfinite(xgen).all())
+    # norm-corrected reverse keeps the latent radial law exactly
+    assert jnp.allclose(
+        jnp.linalg.norm(xgen, axis=1), jnp.linalg.norm(x0, axis=1), rtol=1e-4
+    )
+
+
+def test_checkpoint_roundtrip(rng, tmp_path):
+    sampler = SwissRoll()
+    gen = _mk_sgm_gen(rng, sampler)
+    trainer = Trainer(gen, sampler, batch_size=32, print_every=10_000)
+    state, _ = trainer.run(jax.random.fold_in(rng, 1), 5)
+
+    path = os.path.join(str(tmp_path), "ckpt")
+    key = jax.random.fold_in(rng, 9)
+    save_checkpoint(path, state, key, 4)
+    restored, key2, it = load_checkpoint(path, state, key)
+    assert it == 4
+    assert jnp.array_equal(jax.random.key_data(key), jax.random.key_data(key2))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.gen_sde.a_params),
+        jax.tree_util.tree_leaves(restored.gen_sde.a_params),
+    ):
+        assert jnp.array_equal(a, b)
+
+
+def test_trainer_resume(rng, tmp_path):
+    """Interrupted training resumes from the rolling checkpoint at the right
+    iteration (reference: MSGM_higherDim.py:794-798)."""
+    sampler = SwissRoll()
+    path = os.path.join(str(tmp_path), "roll")
+    gen = _mk_sgm_gen(rng, sampler)
+    t1 = Trainer(gen, sampler, batch_size=32, print_every=2, checkpoint_path=path)
+    t1.run(jax.random.fold_in(rng, 1), 4)  # saves at iters 1(,2,4)
+
+    t2 = Trainer(gen, sampler, batch_size=32, print_every=2, checkpoint_path=path)
+    logs = []
+    t2.log_fn = logs.append
+    state, _ = t2.run(jax.random.fold_in(rng, 1), 6, resume=True)
+    assert any("Resuming" in l for l in logs)
+    assert int(state.step) >= 5
