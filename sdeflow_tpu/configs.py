@@ -1,0 +1,347 @@
+"""Typed experiment configuration + named presets.
+
+The reference configures runs through ~120 module-level globals edited
+in-file, with commented preset blocks and a `match datatype:` override block
+(reference: MSGM_higherDim.py:47-407). Here each regime is a frozen
+dataclass tree with named presets reproducing the reference's dataset
+blocks; the CLI (`python -m sdeflow_tpu.run --preset <name>`) selects one.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, replace
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training hyperparameters (reference: MSGM_higherDim.py:49-75)."""
+
+    T0: float = 1.0
+    beta_min: float = 0.1
+    beta_max: float = 20.0
+    beta_min_sgm: float = 0.1
+    beta_max_sgm: float = 20.0
+    t_eps: float = 1e-3
+    norm_sampler: str = "ecdf"
+    norm_map: Optional[str] = "log"
+    dense_tensor: bool = True
+    nn_archi: str = "MLP"  # MLP | Unet | Unet1D
+    num_samples_init_max: int = 100_000
+    vtype: str = "rademacher"
+    lr: float = 1e-3
+    print_every: int = 10_000
+    save_every: int = 100_000
+    use_checkpoint: bool = False
+    num_steps_forward: int = 16
+    # U-Net extras (reference MSGM_higherDim.py:704-727)
+    base_channels: int = 32
+    channel_mults: Tuple[int, ...] = (1, 2, 4)
+    num_res_blocks: int = 2
+    attention_resolutions: Tuple[int, ...] = (2, 4)
+    emb_dim: int = 128
+
+
+@dataclass(frozen=True)
+class SweepConfig:
+    """Comparison-regime sweep axes (reference: MSGM_higherDim.py:100-154).
+
+    Defaults mirror the active "Fair comparison more CV" block."""
+
+    msgms: Tuple[int, ...] = (0, 1)  # 0 = SGM arm, 1 = MSGM arm
+    ntrain_maxs: Tuple[float, ...] = (np.inf,)
+    iterationss: Tuple[int, ...] = (2**20,)
+    num_stepss_backward: Tuple[int, ...] = (128,)
+    batch_sizes: Tuple[int, ...] = (256,)
+    nruns_mmd: int = 1
+    fair_comparison: bool = True
+    ssm_intT_ref: bool = False
+    eval_mmd: bool = False
+    num_samples: int = 10_000
+    include_t0_reverse: bool = True
+    Res: Tuple[int, ...] = (300, 3900)  # POD Reynolds numbers
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset selection + per-dataset options
+    (reference: MSGM_higherDim.py:156-353, 495-639)."""
+
+    datatype: str = "swissroll"
+    dims: Tuple[int, ...] = (2,)
+    normalized: bool = True
+    mixed_times: bool = False
+    correlation: bool = True
+    few_data: bool = False
+    # PIV
+    large_image: bool = False
+    smoothing: int = 0
+    localized: bool = False
+    # ERA5
+    season: str = "all"
+    use_deseason: bool = False
+    era5_variables: Optional[Tuple[str, ...]] = None
+    # POD
+    concatenate_re: bool = False
+
+
+@dataclass(frozen=True)
+class PlotConfig:
+    """Plot options (reference: MSGM_higherDim.py:366-400)."""
+
+    scatter_plots: bool = True
+    noising_plots: bool = True
+    denoising_plots: bool = True
+    save_results: bool = True
+    plot_xlim: float = 3.0
+    val_hist: float = 3.0
+    crop_data_plot: bool = False
+    plot_crop: float = 3.0
+    log_scale_pdf: bool = True
+    plot_ref_pdf: bool = False
+    dimplot_max: int = 4
+    offset_dimplot: int = 0
+    dpi: int = 200
+    height_seaborn: float = 1.0
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    name: str = "swissroll"
+    train: TrainConfig = field(default_factory=TrainConfig)
+    sweep: SweepConfig = field(default_factory=SweepConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    plots: PlotConfig = field(default_factory=PlotConfig)
+    results_dir: str = "results"
+    seed: int = 0
+
+    def debug(self) -> "ExperimentConfig":
+        """The reference's dbg preset: shrink everything for a smoke run
+        (reference: MSGM_higherDim.py:355-364)."""
+        return replace(
+            self,
+            name=self.name + "_dbg",
+            sweep=replace(
+                self.sweep,
+                iterationss=(16, 8),
+                num_stepss_backward=(4, 8),
+                num_samples=10,
+                nruns_mmd=1,
+                ntrain_maxs=(2**2, 2**4),
+                batch_sizes=(2,),
+            ),
+            train=replace(self.train, num_steps_forward=10, print_every=8),
+        )
+
+
+def _swissroll():
+    return ExperimentConfig(
+        name="swissroll",
+        data=DataConfig(datatype="swissroll", dims=(2,), normalized=False),
+    )
+
+
+def _gaussian():
+    return ExperimentConfig(
+        name="gaussian",
+        data=DataConfig(datatype="gaussian", dims=(2, 4, 8, 16, 32)),
+        plots=PlotConfig(plot_xlim=4.0, val_hist=8.0),
+    )
+
+
+def _gaussian_cauchy():
+    # reference: MSGM_higherDim.py:263-272
+    return ExperimentConfig(
+        name="gaussianCauchy",
+        train=TrainConfig(beta_max=2.0),
+        data=DataConfig(datatype="gaussianCauchy", dims=(2,)),
+        plots=PlotConfig(
+            crop_data_plot=True, plot_xlim=5.0, plot_crop=15.0, val_hist=0.4
+        ),
+    )
+
+
+def _cauchy():
+    # reference: MSGM_higherDim.py:274-296
+    return ExperimentConfig(
+        name="cauchy",
+        train=TrainConfig(
+            beta_max=1.0, beta_min=0.01, t_eps=1e-4, num_steps_forward=128
+        ),
+        data=DataConfig(datatype="cauchy", dims=(4,), correlation=True),
+        plots=PlotConfig(
+            crop_data_plot=True, plot_xlim=10.0, plot_crop=30.0, val_hist=10.0
+        ),
+    )
+
+
+def _lorenz63():
+    # reference: MSGM_higherDim.py:178-202 (dense-tensor d=16 regime)
+    ratio = 10.0
+    return ExperimentConfig(
+        name="lorenz63",
+        train=TrainConfig(
+            beta_min=0.1 / ratio,
+            beta_max=20.0 / ratio,
+            beta_min_sgm=0.1 / ratio,
+            beta_max_sgm=20.0 / ratio,
+            t_eps=1e-3 / ratio,
+            num_steps_forward=128,
+            use_checkpoint=True,
+        ),
+        sweep=SweepConfig(fair_comparison=False),
+        data=DataConfig(datatype="lorenz63", dims=(16,)),
+        plots=PlotConfig(plot_xlim=4.0, val_hist=8.0, offset_dimplot=8),
+    )
+
+
+def _lorenz63_unet1d():
+    # reference: MSGM_higherDim.py:186-191 (sparse-tensor d=1000 Unet1D regime)
+    base = _lorenz63()
+    return replace(
+        base,
+        name="lorenz63_unet1d",
+        train=replace(
+            base.train, dense_tensor=False, nn_archi="Unet1D", num_steps_forward=16
+        ),
+        data=replace(base.data, dims=(1000,)),
+    )
+
+
+def _piv_small():
+    # reference: MSGM_higherDim.py:206-220 (4x4 flat mode)
+    ratio = 4.0
+    return ExperimentConfig(
+        name="piv_small",
+        train=TrainConfig(
+            beta_min=0.1 / ratio,
+            beta_max=20.0 / ratio,
+            beta_min_sgm=0.1 / ratio,
+            beta_max_sgm=20.0 / ratio,
+            t_eps=1e-3 / ratio,
+        ),
+        sweep=SweepConfig(ntrain_maxs=(2**10,)),
+        data=DataConfig(
+            datatype="piv", dims=(16,), few_data=True, localized=True
+        ),
+        plots=PlotConfig(plot_xlim=6.0, val_hist=12.0),
+    )
+
+
+def _piv_large(npixel=32):
+    # reference: MSGM_higherDim.py:222-259 (16x16 / 32x32 attention U-Net)
+    ratio = 1 / 4 if npixel == 16 else 1 / 8
+    return ExperimentConfig(
+        name=f"piv{npixel}",
+        train=TrainConfig(
+            beta_min=0.1 / ratio,
+            beta_max=20.0 / ratio,
+            t_eps=1e-3 / ratio,
+            num_steps_forward=int(16 / ratio),
+            dense_tensor=False,
+            nn_archi="Unet",
+            lr=1e-4,
+            use_checkpoint=True,
+        ),
+        sweep=SweepConfig(
+            fair_comparison=False,
+            iterationss=(100_000,),
+            batch_sizes=(128,),
+            num_stepss_backward=(2048, 512, 128, 32, 16),
+        ),
+        data=DataConfig(
+            datatype="piv", dims=(npixel**2,), large_image=True, smoothing=2
+        ),
+        plots=PlotConfig(
+            plot_xlim=6.0, val_hist=24.0, offset_dimplot=npixel**2 // 2
+        ),
+    )
+
+
+def _pod():
+    # reference: MSGM_higherDim.py:298-307
+    return ExperimentConfig(
+        name="pod",
+        data=DataConfig(datatype="pod", dims=(16,), mixed_times=True),
+        sweep=SweepConfig(Res=(300, 3900)),
+        plots=PlotConfig(val_hist=6.0),
+    )
+
+
+def _era5():
+    # reference: MSGM_higherDim.py:317-330, 588-602
+    return ExperimentConfig(
+        name="era5",
+        data=DataConfig(
+            datatype="era5",
+            dims=(30,),
+            normalized=False,
+            era5_variables=(
+                "10m_u_component_of_wind",
+                "10m_v_component_of_wind",
+                "vorticity",
+            ),
+        ),
+        plots=PlotConfig(plot_xlim=5.0, val_hist=10.0),
+    )
+
+
+def _era5temp():
+    return ExperimentConfig(
+        name="era5temp",
+        data=DataConfig(
+            datatype="era5",
+            dims=(10,),
+            normalized=False,
+            use_deseason=True,
+            era5_variables=("2m_temperature",),
+        ),
+        plots=PlotConfig(plot_xlim=5.0, val_hist=10.0),
+    )
+
+
+def _era5vorttemp():
+    return ExperimentConfig(
+        name="era5vorttemp",
+        train=TrainConfig(beta_max=5.0, beta_max_sgm=5.0),
+        data=DataConfig(
+            datatype="era5",
+            dims=(16,),
+            normalized=False,
+            season="winter",
+            use_deseason=True,
+            mixed_times=True,
+            era5_variables=("2m_temperature", "vorticity"),
+        ),
+        plots=PlotConfig(plot_xlim=5.0, val_hist=10.0),
+    )
+
+
+PRESETS = {
+    "swissroll": _swissroll,
+    "gaussian": _gaussian,
+    "gaussianCauchy": _gaussian_cauchy,
+    "cauchy": _cauchy,
+    "lorenz63": _lorenz63,
+    "lorenz63_unet1d": _lorenz63_unet1d,
+    "piv_small": _piv_small,
+    "piv16": lambda: _piv_large(16),
+    "piv32": lambda: _piv_large(32),
+    "pod": _pod,
+    "era5": _era5,
+    "era5temp": _era5temp,
+    "era5vorttemp": _era5vorttemp,
+}
+
+
+def get_preset(name: str) -> ExperimentConfig:
+    """Resolve a preset; a "_dbg" suffix applies the debug shrink."""
+    dbg = name.endswith("_dbg")
+    base = name[: -len("_dbg")] if dbg else name
+    if base not in PRESETS:
+        raise KeyError(f"unknown preset {base!r}; available: {sorted(PRESETS)}")
+    cfg = PRESETS[base]()
+    return cfg.debug() if dbg else cfg

@@ -58,7 +58,10 @@ def tail_fit_loglog(r_grid, s_vals, norms, tail_frac=0.05, tail_k=None):
     if tail_k is None:
         k = max(10, int(np.clip(np.ceil(n * tail_frac), 10, n - 1)))
     else:
-        k = int(min(max(1, tail_k), n - 1))
+        k = int(max(1, tail_k))
+    # clamp so the (n-k-1)-th order statistic exists (the reference's
+    # max(10, ...) can exceed n-1 for n == 10 and would IndexError there)
+    k = min(k, n - 1)
     threshold = sorted_norms[-k - 1]
     mask = r_grid >= threshold
     if not np.any(mask):

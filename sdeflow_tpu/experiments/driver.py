@@ -1,0 +1,508 @@
+"""Experiment driver: the reference's SGM-vs-MSGM comparison sweeps.
+
+TPU-native rewrite of the reference's `__main__` block
+(reference: MSGM_higherDim.py:448-1176): nested sweep over
+complexity (train-set size or Reynolds) x dimension x {SGM, MSGM} x
+iterations x batch size; per arm it builds the dataset, applies the
+fair-comparison budget rules, trains the score net, runs the
+reverse-sampling sweep over backward step counts and repeat runs, and
+accumulates the 5-D sqrt-MMD result tensors. Figures and result arrays land
+under `<results_dir>/<dataset>/` with the hyperparameter-encoding run name.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import replace
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sdeflow_tpu.configs import ExperimentConfig
+from sdeflow_tpu.experiments.naming import run_name_root, simulation_name
+from sdeflow_tpu.models import MLP, UNet1D, VorticityUNet
+from sdeflow_tpu.sde import SGMSde, MSGMSde, PluginReverseSDE, ForwardFlow
+from sdeflow_tpu.ops.integrators import integrate_sde
+from sdeflow_tpu.training import Trainer
+from sdeflow_tpu.training.checkpoint import delete_checkpoint, save_checkpoint
+from sdeflow_tpu.plotting.plots import (
+    preprocessing,
+    postprocessing,
+    pairplots_single,
+)
+
+
+def make_sampler(cfg: ExperimentConfig, dim, key, complexity=None):
+    """Dataset factory (reference: MSGM_higherDim.py:495-639)."""
+    from sdeflow_tpu import data as D
+
+    dc = cfg.data
+    ntrain_max = complexity if complexity is not None else np.inf
+    dt = dc.datatype
+    if dt == "swissroll":
+        return D.SwissRoll()
+    if dt == "gaussian":
+        return D.Gaussian(key, dim, correlation=dc.correlation,
+                          normalized=dc.normalized)
+    if dt == "gaussianCauchy":
+        return D.GaussianCauchy(key, dim, correlation=dc.correlation,
+                                normalized=dc.normalized)
+    if dt == "cauchy":
+        return D.Cauchy(key, dim, correlation=dc.correlation,
+                        normalized=dc.normalized)
+    if dt == "piv":
+        return D.PIV(dim, normalized=dc.normalized,
+                     large_image=dc.large_image, smoothing=dc.smoothing,
+                     localized=dc.localized, few_data=dc.few_data,
+                     ntrain_max=ntrain_max)
+    if dt == "lorenz63":
+        return D.Lorenz63(dim, normalized=dc.normalized,
+                          few_data=dc.few_data, ntrain_max=ntrain_max)
+    if dt == "lorenz96":
+        return D.Lorenz96(int(complexity or 100), dim,
+                          normalized=dc.normalized)
+    if dt == "pod":
+        return D.PODmodes(int(complexity or 300), dim,
+                          normalized=dc.normalized,
+                          mixed_times=dc.mixed_times,
+                          concatenate_re=dc.concatenate_re,
+                          few_data=dc.few_data, ntrain_max=ntrain_max)
+    if dt == "era5":
+        return D.ERA5(dim, variables=dc.era5_variables, season=dc.season,
+                      use_deseason=dc.use_deseason,
+                      mixed_times=dc.mixed_times)
+    if dt == "eof_pressure":
+        return D.EOFPressure(dim)
+    if dt == "weather_station":
+        return D.WeatherStation(dim)
+    if dt == "ncar":
+        return D.NCARWeatherStation(dim)
+    raise ValueError(f"Unknown datatype: {dt}")
+
+
+def make_model(cfg: ExperimentConfig, dim, premodule):
+    """Score-net factory (reference: MSGM_higherDim.py:700-727)."""
+    tc = cfg.train
+    if tc.nn_archi == "MLP":
+        return MLP(input_dim=dim, index_dim=1, hidden_dim=128,
+                   premodule=premodule)
+    if tc.nn_archi == "Unet":
+        npixelx = int(np.sqrt(dim))
+        if dim != npixelx**2:
+            raise ValueError(f"Incorrect dim to define square image: {dim}")
+        return VorticityUNet(
+            base_channels=tc.base_channels,
+            channel_mults=tc.channel_mults,
+            num_res_blocks=tc.num_res_blocks,
+            premodule=premodule,
+            in_space=npixelx,
+            attention_resolutions=tc.attention_resolutions,
+            use_checkpoint=False,
+            flatten_order="F",
+        )
+    if tc.nn_archi == "Unet1D":
+        return UNet1D(
+            input_dim=dim,
+            base_channels=tc.base_channels,
+            channel_mults=tc.channel_mults,
+            num_res_blocks=tc.num_res_blocks,
+            premodule=premodule,
+            emb_dim=tc.emb_dim,
+        )
+    raise ValueError(f"Unknown NN archi: {tc.nn_archi}")
+
+
+class ExperimentDriver:
+    """Runs the full comparison sweep for one ExperimentConfig."""
+
+    def __init__(self, cfg: ExperimentConfig, log_fn=print, make_plots=True):
+        self.cfg = cfg
+        self.log = log_fn
+        self.make_plots = make_plots
+        self.results = {}
+
+    # -- per-arm helpers ----------------------------------------------------
+    def _fair_budgets(self, is_msgm, ssm_intT, dim, batch_size_ref,
+                      iterations_ref):
+        """Fair-comparison scaling (reference: MSGM_higherDim.py:686-696):
+        intT shrinks batch by num_steps_forward (same RAM); MSGM shrinks the
+        iteration budget by max(1, sqrt(d)·steps/16) (same learning time)."""
+        tc, sw = self.cfg.train, self.cfg.sweep
+        batch_size = (
+            max(1, int(batch_size_ref / tc.num_steps_forward))
+            if ssm_intT
+            else batch_size_ref
+        )
+        if sw.fair_comparison and is_msgm:
+            ratio_ite = max(1, int(np.sqrt(dim) * tc.num_steps_forward / 16))
+            self.log(f"ratio_ite = {ratio_ite}")
+            iterations = max(1, int(iterations_ref / ratio_ite))
+        else:
+            iterations = iterations_ref
+        return batch_size, iterations
+
+    def _build_arm(self, key, sampler, dim, is_msgm, premodule,
+                   num_samples_init, ssm_intT):
+        """Model + SDE + reverse SDE for one sweep arm
+        (reference: MSGM_higherDim.py:700-746)."""
+        tc = self.cfg.train
+        key_model, key_data, key_sde = jax.random.split(key, 3)
+        model = make_model(self.cfg, dim, premodule)
+        x_probe = sampler.sample(key_data, min(num_samples_init, 64))
+        variables = model.init(
+            key_model, x_probe, jnp.zeros((x_probe.shape[0],))
+        )
+        if is_msgm:
+            x_init = sampler.sample(key_data, num_samples_init)
+            sde = MSGMSde.create(
+                key_sde, x_init,
+                beta_min=tc.beta_min, beta_max=tc.beta_max,
+                T=tc.T0, t_epsilon=tc.t_eps,
+                num_steps_forward=tc.num_steps_forward,
+                dense_tensor=tc.dense_tensor,
+                norm_sampler=tc.norm_sampler, norm_map=tc.norm_map,
+                estimate_norm_constant=False,
+            )
+        else:
+            sde = SGMSde.create(
+                beta_min=tc.beta_min_sgm, beta_max=tc.beta_max_sgm,
+                T=tc.T0, t_epsilon=tc.t_eps,
+                num_steps_forward=tc.num_steps_forward,
+            )
+        gen = PluginReverseSDE.create(
+            sde, model.apply, variables, vtype=tc.vtype, ssm_intT=ssm_intT
+        )
+        return model, gen
+
+    # -- the sweep ------------------------------------------------------------
+    def run(self, key: Optional[jax.Array] = None, just_load=False):
+        cfg = self.cfg
+        tc, sw, dc, pc = cfg.train, cfg.sweep, cfg.data, cfg.plots
+        key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+
+        complexitys = (
+            list(sw.Res) if dc.datatype == "pod" else list(sw.ntrain_maxs)
+        )
+        dims = list(dc.dims)
+        shape = (len(dims), len(complexitys), len(sw.num_stepss_backward),
+                 len(sw.iterationss), sw.nruns_mmd)
+        mmd_sgm = np.zeros(shape)
+        mmd_msgm = np.zeros(shape)
+        mmd_ref = np.zeros(shape)
+
+        folder_results = cfg.results_dir
+        os.makedirs(folder_results, exist_ok=True)
+
+        for i_cx, complexity in enumerate(complexitys):
+            for i_dim, dim in enumerate(dims):
+                for is_msgm in sw.msgms:
+                    # arm-specific defaults (reference MSGM_higherDim.py:473-483)
+                    if not is_msgm:
+                        normalized = dc.normalized
+                        ssm_intT = False
+                        premodule = None
+                    else:
+                        normalized = False
+                        ssm_intT = sw.ssm_intT_ref
+                        premodule = "NormalizeLogRadius"
+                    if dc.datatype == "swissroll":
+                        normalized = False
+
+                    arm_key = jax.random.PRNGKey(cfg.seed)  # reseed per arm
+                    key_sampler, key_test, key_arm = jax.random.split(
+                        arm_key, 3
+                    )
+                    arm_cfg = replace(
+                        cfg, data=replace(dc, normalized=normalized)
+                    )
+                    self_cfg_backup, self.cfg = self.cfg, arm_cfg
+                    sampler = make_sampler(arm_cfg, dim, key_sampler,
+                                           complexity=complexity)
+                    self.cfg = self_cfg_backup
+
+                    directory = os.path.join(folder_results, sampler.name)
+                    os.makedirs(directory, exist_ok=True)
+
+                    xtest = sampler.sampletest(key_test, sw.num_samples)
+                    real_dim = int(xtest.shape[1])
+                    std_test = jnp.std(xtest, axis=0)
+                    if normalized and hasattr(sampler, "get_std"):
+                        std_norm = sampler.get_std()
+                    else:
+                        std_norm = jnp.ones((real_dim,))
+                    if dc.datatype == "cauchy":
+                        std_test_plot = jnp.ones_like(std_test) / std_norm
+                    else:
+                        std_test_plot = std_test
+
+                    dimplot = min(pc.dimplot_max, real_dim)
+                    columns_plot = list(
+                        range(1 + pc.offset_dimplot,
+                              1 + pc.offset_dimplot + dimplot)
+                    )
+
+                    if self.make_plots:
+                        pairplots_single(
+                            xtest, std_norm, std_test_plot, dc.datatype,
+                            sampler.name, dimplot=dimplot,
+                            offset_dimplot=pc.offset_dimplot,
+                            crop_data_plot=pc.crop_data_plot,
+                            plot_crop=pc.plot_crop, plot_xlim=pc.plot_xlim,
+                            columns_plot=columns_plot, dpi=pc.dpi,
+                            height_seaborn=pc.height_seaborn,
+                            results_dir=folder_results,
+                        )
+
+                    for i_iter, iterations_ref in enumerate(sw.iterationss):
+                        for batch_size_ref in sw.batch_sizes:
+                            self._run_arm(
+                                key_arm, sampler, xtest, std_norm,
+                                std_test_plot, dim=real_dim,
+                                is_msgm=is_msgm, premodule=premodule,
+                                ssm_intT=ssm_intT,
+                                iterations_ref=iterations_ref,
+                                batch_size_ref=batch_size_ref,
+                                complexity=complexity,
+                                indices=(i_dim, i_cx, i_iter),
+                                mmd_arrays=(mmd_sgm, mmd_msgm, mmd_ref),
+                                dimplot=dimplot, columns_plot=columns_plot,
+                                just_load=just_load,
+                            )
+
+        self.results = dict(mmd_sgm=mmd_sgm, mmd_msgm=mmd_msgm,
+                            mmd_ref=mmd_ref, dims=dims,
+                            complexitys=complexitys)
+        if sw.eval_mmd:
+            self._save_mmd_arrays(folder_results)
+            if self.make_plots:
+                self._convergence_plots(folder_results)
+        return self.results
+
+    def _run_arm(self, key, sampler, xtest, std_norm, std_test_plot, *, dim,
+                 is_msgm, premodule, ssm_intT, iterations_ref, batch_size_ref,
+                 complexity, indices, mmd_arrays, dimplot, columns_plot,
+                 just_load):
+        cfg = self.cfg
+        tc, sw, dc, pc = cfg.train, cfg.sweep, cfg.data, cfg.plots
+        i_dim, i_cx, i_iter = indices
+        mmd_sgm, mmd_msgm, mmd_ref = mmd_arrays
+        folder_results = cfg.results_dir
+
+        batch_size, iterations = self._fair_budgets(
+            is_msgm, ssm_intT, dim, batch_size_ref, iterations_ref
+        )
+        num_samples_init = int(
+            min(tc.num_samples_init_max, iterations * batch_size)
+        )
+        self.log(f"num_samples_init = {num_samples_init}")
+
+        key_build, key_fwd, key_train, key_sample = jax.random.split(key, 4)
+        model, gen = self._build_arm(
+            key_build, sampler, dim, is_msgm, premodule, num_samples_init,
+            ssm_intT,
+        )
+
+        self.log(f"data = {sampler.name}")
+        self.log(f"name_SDE = {gen.base_sde.name}")
+        self.log(f"num_steps_forward = {tc.num_steps_forward}")
+        self.log(f"iterations = {iterations} (ref {iterations_ref})")
+        self.log(f"batch_size = {batch_size}")
+        self.log(f"ssm_intT = {ssm_intT}  fair = {sw.fair_comparison}")
+        self.log(f"NNarchi = {tc.nn_archi}  premodule = {premodule}")
+
+        name_root = run_name_root(
+            sampler.name, gen.base_sde.name, iterations_ref,
+            num_samples_init, batch_size, tc.num_steps_forward,
+            tc.beta_min, tc.beta_max, tc.beta_min_sgm, tc.beta_max_sgm,
+            is_msgm, nn_archi=tc.nn_archi, premodule=premodule, lr=tc.lr,
+            vtype=tc.vtype, ssm_intT=ssm_intT,
+            fair_comparison=sw.fair_comparison,
+        )
+
+        # forward-SDE noising diagnostics (reference MSGM_higherDim.py:779-788)
+        if self.make_plots:
+            flow = ForwardFlow(base_sde=gen.base_sde, T=gen.base_sde.T)
+            xs_forward = integrate_sde(
+                flow, xtest, key_fwd, tc.num_steps_forward, method="rk4",
+                keep_all=True, include_t0=True,
+                norm_correction=bool(is_msgm),
+            )
+            preprocessing(
+                xtest, xs_forward, tc.num_steps_forward, name_root,
+                offset_dimplot=pc.offset_dimplot,
+                noising_plots=pc.noising_plots,
+                folder_results=folder_results, val_hist=pc.val_hist,
+                std_norm=std_norm, std_test_plot=std_test_plot,
+                log_fn=self.log,
+            )
+
+        # train (reference MSGM_higherDim.py:790-850)
+        checkpoint_path = (
+            os.path.join(folder_results, name_root + "_checkpoint")
+            if tc.use_checkpoint else None
+        )
+        if not just_load:
+            trainer = Trainer(
+                gen, sampler, lr=tc.lr, batch_size=batch_size,
+                loss="ssm", print_every=tc.print_every,
+                save_every=tc.save_every, checkpoint_path=checkpoint_path,
+                log_fn=self.log,
+            )
+            state, _ = trainer.run(key_train, iterations,
+                                   x_test=xtest[: min(1000, xtest.shape[0])])
+            gen = state.gen_sde
+            if checkpoint_path:
+                delete_checkpoint(checkpoint_path)
+                self.log("Training finished successfully, checkpoint removed.")
+            save_checkpoint(
+                os.path.join(folder_results, name_root + "_checkpoint_final"),
+                state, key_train, iterations - 1,
+            )
+
+        # reverse-sampling sweep (reference MSGM_higherDim.py:852-916)
+        x_train_for_mmd = sampler.sample(
+            jax.random.fold_in(key_sample, 777), sw.num_samples
+        )
+        for i_steps, num_steps_backward in enumerate(sw.num_stepss_backward):
+            self.log(f"Generation : num_steps_backward = {num_steps_backward}")
+            fig_step = max(1, int(num_steps_backward / 8))
+            if sw.include_t0_reverse:
+                inds = range(0, num_steps_backward + 1, fig_step)
+            else:
+                inds = range(fig_step - 1, num_steps_backward, fig_step)
+
+            for i_run in range(sw.nruns_mmd):
+                name_simu = simulation_name(
+                    folder_results, name_root, tc.t_eps,
+                    num_steps_backward, sw.include_t0_reverse, i_run,
+                )
+                if i_run > 0:
+                    os.makedirs(os.path.join("runs", sampler.name),
+                                exist_ok=True)
+                k_run = jax.random.fold_in(key_sample,
+                                           i_steps * 1000 + i_run)
+                if just_load:
+                    xs = np.load(name_simu + "_traj.npy")
+                else:
+                    k_lat, k_solve = jax.random.split(k_run)
+                    x0 = gen.latent_sample(k_lat, sw.num_samples, dim)
+                    xs = integrate_sde(
+                        gen, x0, k_solve, num_steps_backward, method="rk4",
+                        keep_all=True, include_t0=sw.include_t0_reverse,
+                        norm_correction=bool(is_msgm),
+                    )
+                    if pc.save_results:
+                        np.save(name_simu + "_traj.npy", np.asarray(xs))
+
+                if self.make_plots or sw.eval_mmd:
+                    out = postprocessing(
+                        inds, xs, xtest, std_norm, std_test_plot,
+                        dc.datatype, name_simu, dimplot=dimplot,
+                        offset_dimplot=pc.offset_dimplot,
+                        crop_data_plot=pc.crop_data_plot,
+                        plot_crop=pc.plot_crop, plot_xlim=pc.plot_xlim,
+                        plot_ref_pdf=pc.plot_ref_pdf, pdf_theor=None,
+                        log_scale_pdf=pc.log_scale_pdf,
+                        columns_plot=columns_plot,
+                        scatter_plots=pc.scatter_plots and self.make_plots,
+                        denoising_plots=pc.denoising_plots and self.make_plots,
+                        include_t0_reverse=sw.include_t0_reverse,
+                        dpi=pc.dpi, height_seaborn=pc.height_seaborn,
+                        val_hist=pc.val_hist,
+                        save_results=pc.save_results and not just_load,
+                        first_run=(i_run == 0),
+                        mmd_inputs=(
+                            (x_train_for_mmd, sw.num_samples)
+                            if sw.eval_mmd else None
+                        ),
+                        log_fn=self.log,
+                    )
+                    if sw.eval_mmd and out["mmd"] is not None:
+                        idx = (i_dim, i_cx, i_steps, i_iter, i_run)
+                        mmd_ref[idx] = out["mmd_ref"]
+                        if is_msgm:
+                            mmd_msgm[idx] = out["mmd"]
+                        else:
+                            mmd_sgm[idx] = out["mmd"]
+
+    # -- results persistence + convergence plots -------------------------------
+    def _save_mmd_arrays(self, folder):
+        """(reference: MSGM_higherDim.py:931-936)"""
+        sw = self.cfg.sweep
+        tag = f"_{sw.nruns_mmd}runs"
+        np.save(os.path.join(folder, f"globalMMDfile_SGM{tag}.npy"),
+                self.results["mmd_sgm"])
+        np.save(os.path.join(folder, f"globalMMDfile_MSGM{tag}.npy"),
+                self.results["mmd_msgm"])
+        np.save(os.path.join(folder, f"globalMMDfile_ref{tag}.npy"),
+                self.results["mmd_ref"])
+
+    def _convergence_plots(self, folder):
+        """√MMD convergence plots vs backward steps / iterations / dimension /
+        train-set size (reference: MSGM_higherDim.py:938-1176)."""
+        import matplotlib.pyplot as plt
+        import matplotlib.ticker as mticker
+
+        sw = self.cfg.sweep
+        res = self.results
+        dims, complexitys = res["dims"], res["complexitys"]
+
+        def stats(arr):
+            s = np.sqrt(np.maximum(arr, 0.0))
+            return s.mean(axis=4), np.quantile(s, 0.1, axis=4), np.quantile(
+                s, 0.9, axis=4
+            )
+
+        m_sgm, q10_sgm, q90_sgm = stats(res["mmd_sgm"])
+        m_msgm, q10_msgm, q90_msgm = stats(res["mmd_msgm"])
+        m_ref, q10_ref, q90_ref = stats(res["mmd_ref"])
+
+        def plot_axis(xvals, slicer, xlabel, fname):
+            fig = plt.figure(figsize=(5 * 0.7 * 1.3, 3 * 0.7))
+            for label, (m, q10, q90) in [
+                ("SGM", (m_sgm, q10_sgm, q90_sgm)),
+                ("MSGM", (m_msgm, q10_msgm, q90_msgm)),
+                ("train data", (m_ref, q10_ref, q90_ref)),
+            ]:
+                plt.loglog(xvals, slicer(m), label=label)
+                plt.fill_between(xvals, slicer(q10), slicer(q90), alpha=0.2)
+            plt.xlabel(xlabel)
+            plt.ylabel("MMD")
+            ax = plt.gca()
+            ax.set_xticks(list(xvals))
+            ax.xaxis.set_major_locator(mticker.FixedLocator(list(xvals)))
+            plt.tight_layout()
+            ax.legend(loc="center left", bbox_to_anchor=(1, 0.5))
+            plt.savefig(os.path.join(folder, fname), bbox_inches="tight")
+            plt.close(fig)
+
+        for i_dim in range(len(dims)):
+            for i_cx in range(len(complexitys)):
+                plot_axis(
+                    list(sw.num_stepss_backward),
+                    lambda m, i=i_dim, c=i_cx: m[i, c, :, 0].flatten(),
+                    "nb timesteps in backward SDE",
+                    f"MMD_wBckWardSteps_d={dims[i_dim]}"
+                    f"_Ntrain={complexitys[i_cx]}.png",
+                )
+                if len(sw.iterationss) > 1:
+                    plot_axis(
+                        list(sw.iterationss),
+                        lambda m, i=i_dim, c=i_cx: m[i, c, 0, :].flatten(),
+                        "effective number of iterations",
+                        f"MMD_wIte_d={dims[i_dim]}"
+                        f"_Ntrain={complexitys[i_cx]}.png",
+                    )
+        if len(dims) > 1:
+            plot_axis(
+                dims, lambda m: m[:, 0, 0, 0].flatten(), "dimension",
+                "MMD_wDim.png",
+            )
+        if len(complexitys) > 1 and np.all(np.isfinite(complexitys)):
+            plot_axis(
+                complexitys, lambda m: m[0, :, 0, 0].flatten(),
+                "Training set size", "MMD_wNtrain.png",
+            )

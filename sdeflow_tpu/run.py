@@ -1,0 +1,83 @@
+"""CLI entry point mirroring `python MSGM_higherDim.py` semantics
+(reference: README.md:7-11), with named presets instead of in-file edits:
+
+    python -m sdeflow_tpu.run --preset swissroll
+    python -m sdeflow_tpu.run --preset swissroll_dbg --iterations 200
+    python -m sdeflow_tpu.run --preset cauchy --eval-mmd --cpu
+"""
+
+from __future__ import annotations
+
+import argparse
+from dataclasses import replace
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", default="swissroll",
+                   help="experiment preset (append _dbg for the smoke config)")
+    p.add_argument("--iterations", type=int, default=None,
+                   help="override the iteration sweep with a single value")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--num-samples", type=int, default=None)
+    p.add_argument("--steps-backward", type=int, default=None)
+    p.add_argument("--eval-mmd", action="store_true",
+                   help="compute the MMD result tensors")
+    p.add_argument("--no-plots", action="store_true")
+    p.add_argument("--just-load", action="store_true",
+                   help="reload saved sample trajectories instead of sampling")
+    p.add_argument("--results-dir", default="results")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the reference's force_cpu)")
+    p.add_argument("--data-root", default=None,
+                   help="root for file-backed datasets (../MSGM-data/)")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from sdeflow_tpu.configs import get_preset
+    from sdeflow_tpu.experiments.driver import ExperimentDriver
+
+    if args.data_root:
+        from sdeflow_tpu.data import set_data_root
+
+        set_data_root(args.data_root)
+
+    cfg = get_preset(args.preset)
+    sweep = cfg.sweep
+    if args.iterations is not None:
+        sweep = replace(sweep, iterationss=(args.iterations,))
+    if args.batch_size is not None:
+        sweep = replace(sweep, batch_sizes=(args.batch_size,))
+    if args.num_samples is not None:
+        sweep = replace(sweep, num_samples=args.num_samples)
+    if args.steps_backward is not None:
+        sweep = replace(sweep, num_stepss_backward=(args.steps_backward,))
+    if args.eval_mmd:
+        sweep = replace(sweep, eval_mmd=True)
+    cfg = replace(cfg, sweep=sweep, results_dir=args.results_dir,
+                  seed=args.seed)
+
+    print(f"preset = {cfg.name}; backend = {jax.default_backend()}")
+    driver = ExperimentDriver(cfg, make_plots=not args.no_plots)
+    results = driver.run(jax.random.PRNGKey(args.seed),
+                         just_load=args.just_load)
+    if args.eval_mmd:
+        import numpy as np
+
+        print("sqrt-MMD SGM:", np.sqrt(np.maximum(results["mmd_sgm"], 0)).mean())
+        print("sqrt-MMD MSGM:", np.sqrt(np.maximum(results["mmd_msgm"], 0)).mean())
+        print("sqrt-MMD floor:", np.sqrt(np.maximum(results["mmd_ref"], 0)).mean())
+    return results
+
+
+if __name__ == "__main__":
+    main()

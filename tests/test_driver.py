@@ -1,0 +1,104 @@
+"""Experiment driver: dbg-preset sweep end to end, naming, presets, lowrank."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from sdeflow_tpu.configs import get_preset, PRESETS
+from sdeflow_tpu.experiments.naming import run_name_root, simulation_name
+from sdeflow_tpu.experiments.driver import ExperimentDriver, make_sampler, make_model
+from sdeflow_tpu.plotting.lowrank import simulate_block_rotation
+
+
+def test_presets_resolve():
+    for name in PRESETS:
+        cfg = get_preset(name)
+        assert cfg.name == name
+        dbg = get_preset(name + "_dbg")
+        assert dbg.sweep.num_samples == 10
+    with pytest.raises(KeyError):
+        get_preset("nope")
+
+
+def test_run_name_encoding():
+    name = run_name_root(
+        "swiss", "MSGMlogNorm", 1024, 512, 256, 16, 0.1, 20.0, 0.1, 20.0,
+        is_msgm=True, premodule="NormalizeLogRadius", ssm_intT=True,
+        fair_comparison=True,
+    )
+    assert name.startswith("swiss/MSGMlogNorm_1024iteRefLearning_")
+    assert "_intLoss" in name and "_fairComp" in name
+    assert "NormalizeLogRadius" in name
+    sim = simulation_name("results", name, 1e-3, 128, True, i_run=0)
+    assert sim.startswith("results/") and "128stepsBack" in sim
+    sim_run = simulation_name("results", name, 1e-3, 128, True, i_run=2)
+    assert sim_run.startswith("runs/") and sim_run.endswith("_run2")
+
+
+def test_fair_comparison_budgets(rng):
+    cfg = get_preset("swissroll")
+    drv = ExperimentDriver(cfg, log_fn=lambda *_: None, make_plots=False)
+    # intT halves RAM by shrinking batch; MSGM shrinks iterations
+    b, it = drv._fair_budgets(True, True, 16, 256, 2**16)
+    assert b == 256 // cfg.train.num_steps_forward
+    assert it == 2**16 // max(1, int(np.sqrt(16) * cfg.train.num_steps_forward / 16))
+    b2, it2 = drv._fair_budgets(False, False, 16, 256, 2**16)
+    assert (b2, it2) == (256, 2**16)
+
+
+def test_driver_dbg_sweep(rng, tmp_path, monkeypatch):
+    """Full dbg sweep: both arms, training, sampling sweep, MMD tensors,
+    result files — the reference driver's end-to-end flow at smoke scale."""
+    monkeypatch.chdir(tmp_path)
+    cfg = get_preset("swissroll_dbg")
+    from dataclasses import replace
+
+    cfg = replace(
+        cfg,
+        sweep=replace(cfg.sweep, eval_mmd=True, num_samples=64,
+                      iterationss=(8,), num_stepss_backward=(4,),
+                      ntrain_maxs=(np.inf,)),
+        results_dir=str(tmp_path / "results"),
+    )
+    logs = []
+    driver = ExperimentDriver(cfg, log_fn=logs.append, make_plots=False)
+    results = driver.run(jax.random.PRNGKey(0))
+    assert results["mmd_sgm"].shape == (1, 1, 1, 1, 1)
+    assert results["mmd_sgm"][0, 0, 0, 0, 0] > 0
+    assert results["mmd_msgm"][0, 0, 0, 0, 0] > 0
+    assert results["mmd_ref"][0, 0, 0, 0, 0] > 0
+    # final checkpoints + sample trajectories persisted
+    files = os.listdir(tmp_path / "results")
+    assert any("globalMMDfile_SGM" in f for f in files)
+    swiss_files = os.listdir(tmp_path / "results" / "swiss")
+    assert any(f.endswith("_traj.npy") for f in swiss_files)
+    assert any("MSGM" in f for f in swiss_files)
+
+
+def test_make_model_archis():
+    from dataclasses import replace
+
+    cfg = get_preset("swissroll")
+    assert make_model(cfg, 8, None).__class__.__name__ == "MLP"
+    cfg_u = replace(cfg, train=replace(cfg.train, nn_archi="Unet1D"))
+    assert make_model(cfg_u, 100, None).__class__.__name__ == "UNet1D"
+    cfg_2d = replace(cfg, train=replace(cfg.train, nn_archi="Unet"))
+    assert make_model(cfg_2d, 256, None).__class__.__name__ == "VorticityUNet"
+    with pytest.raises(ValueError):
+        make_model(cfg_2d, 255, None)  # not a square image
+
+
+def test_lowrank_block_rotation_norm_invariant():
+    """Each rotation plane preserves its radius — the analytic latent law
+    of the low-rank MSGM (reference LowRankTensorPlot.py)."""
+    x1, x2, x3, x4 = simulate_block_rotation(N=2000)
+    r12 = np.sqrt(x1**2 + x2**2)
+    r34 = np.sqrt(x3**2 + x4**2)
+    assert np.allclose(r12, np.sqrt(2.0), atol=1e-6)
+    assert np.allclose(r34, np.sqrt(2.0), atol=1e-6)
+    # kill_dim34 doubles the first plane's energy instead
+    y1, y2, y3, y4 = simulate_block_rotation(N=500, kill_dim34=True)
+    assert np.allclose(np.sqrt(y1**2 + y2**2), 2.0, atol=1e-6)
+    assert np.allclose(y3, 0.0) and np.allclose(y4, 0.0)
