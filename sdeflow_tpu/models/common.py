@@ -56,8 +56,11 @@ def zero_init():
 
 
 class GroupNorm32(nn.Module):
-    """GroupNorm over min(32, C) groups with statistics computed in fp32
-    (reference: model/nn_utils.py:39-41, 107-114). Channels-last.
+    """GroupNorm over min(32, C) groups with statistics computed in fp32,
+    optionally fused with the following SiLU
+    (reference: model/nn_utils.py:39-46, 107-114). Channels-last; the
+    compute is the fused Pallas kernel on TPU (jnp path under autodiff /
+    off-TPU), see ops/pallas/groupnorm.py.
 
     When min(32, C) does not divide C (possible at U-Net skip concats with
     small base widths; torch's GroupNorm would reject such configs just like
@@ -66,17 +69,24 @@ class GroupNorm32(nn.Module):
     """
 
     channels: int
+    silu: bool = False
 
     @nn.compact
     def __call__(self, x):
+        from sdeflow_tpu.ops.pallas.groupnorm import group_norm_silu
+
         groups = min(self.channels, 32)
         while self.channels % groups != 0:
             groups -= 1
-        orig_dtype = x.dtype
-        h = nn.GroupNorm(num_groups=groups, dtype=jnp.float32, name="norm")(
-            x.astype(jnp.float32)
+        scale = self.param("scale", nn.initializers.ones, (self.channels,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,),
+                          jnp.float32)
+        shape = x.shape
+        h = group_norm_silu(
+            x.reshape(shape[0], -1, shape[-1]), scale, bias, groups, self.silu
         )
-        return h.astype(orig_dtype)
+        return h.reshape(shape)
 
 
 class TimeMLP(nn.Module):

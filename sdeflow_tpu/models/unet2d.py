@@ -100,8 +100,7 @@ class ResBlock(nn.Module):
     def __call__(self, x, emb):
         out_ch = self.out_channels or self.channels
 
-        h = GroupNorm32(self.channels, name="in_norm")(x)
-        h = nn.silu(h)
+        h = GroupNorm32(self.channels, silu=True, name="in_norm")(x)
         h = nn.Conv(out_ch, _kernel(self.dims, 3), padding="SAME", name="in_conv")(h)
 
         emb_out = nn.Dense(
@@ -110,12 +109,13 @@ class ResBlock(nn.Module):
         emb_out = emb_out.reshape(emb_out.shape[0], *([1] * self.dims), -1)
 
         if self.use_scale_shift_norm:
+            # affine from the embedding sits between norm and SiLU — not fusable
             scale, shift = jnp.split(emb_out, 2, axis=-1)
             h = GroupNorm32(out_ch, name="out_norm")(h) * (1 + scale) + shift
+            h = nn.silu(h)
         else:
             h = h + emb_out
-            h = GroupNorm32(out_ch, name="out_norm")(h)
-        h = nn.silu(h)
+            h = GroupNorm32(out_ch, silu=True, name="out_norm")(h)
         h = nn.Dropout(self.dropout, deterministic=self.deterministic)(h)
         h = nn.Conv(
             out_ch,
@@ -159,16 +159,12 @@ class AttentionBlock(nn.Module):
         t = 1
         for s in spatial:
             t *= s
+        from sdeflow_tpu.ops.pallas.attention import qkv_attention
+
         x_flat = x.reshape(b, t, c)
         h = GroupNorm32(c, name="norm")(x_flat)
         qkv = nn.Dense(3 * c, name="qkv")(h)  # 1×1 conv ≡ Dense over channels
-        ch = c // self.num_heads
-        qkv = qkv.reshape(b, t, self.num_heads, 3 * ch)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(ch, jnp.float32)))
-        w = jnp.einsum("bthc,bshc->bhts", q * scale, k * scale)
-        w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(qkv.dtype)
-        out = jnp.einsum("bhts,bshc->bthc", w, v).reshape(b, t, c)
+        out = qkv_attention(qkv, self.num_heads)  # fused Pallas core
         out = nn.Dense(
             c, kernel_init=zero_init(), bias_init=zero_init(), name="proj_out"
         )(out)
@@ -323,8 +319,7 @@ class UNetModel(nn.Module):
                     features["up"].append(h)
                 block_id += 1
 
-        out = GroupNorm32(ch, name="out_norm")(h)
-        out = nn.silu(out)
+        out = GroupNorm32(ch, silu=True, name="out_norm")(h)
         out = nn.Conv(
             self.out_channels,
             _kernel(self.dims, 3),

@@ -137,6 +137,12 @@ class SDEBehavior:
             norm_correction=self.norm_correction,
         )
 
+    def sample_debiasing_t(self, key, shape):
+        """Non-uniform t sampling ∝ g²/std² — not implemented, mirroring the
+        reference exactly (SDEs.py:148-155 raises NotImplementedError and
+        defers to the upstream sdeflow-light repository)."""
+        raise NotImplementedError("See the official repository.")
+
     def sample_song_et_al(self, key, t, y0, return_noise=False):
         """Closed-form forward kernel y_t = mean_weight(t)·y_0 + std·ε.
 

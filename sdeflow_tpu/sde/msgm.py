@@ -160,10 +160,14 @@ class MSGMSde(SDEBehavior):
 
     def sigma_apply(self, t, y, w):
         """g(t,y)·w = √β(t)·Σ_{jk} G[i,j,k] y_j w_k
-        (reference: SDEs.py:423-432 / sde_scheme.py:27-36)."""
+        (reference: SDEs.py:423-432 / sde_scheme.py:27-36). The circulant
+        path dispatches to the fused Pallas stencil on TPU
+        (ops/pallas/circulant.py)."""
+        from sdeflow_tpu.ops.pallas.circulant import circulant_apply
+
         sqrt_bt = jnp.sqrt(self.beta(_tcol(t, y)))
         if self.circulant:
-            return circulant_sigma_apply(sqrt_bt, y, w)
+            return circulant_apply(sqrt_bt, y, w)
         return dense_sigma_apply(self.G, sqrt_bt, y, w)
 
     def ijk(self):

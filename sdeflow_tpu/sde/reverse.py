@@ -190,7 +190,10 @@ class PluginReverseSDE:
         if not hasattr(self.base_sde, "mean_weight"):
             raise ValueError("DSM requires a closed-form forward kernel (SGM)")
         key_t, key_y = jax.random.split(key)
-        t = self.sample_t(key_t, x.shape[0])
+        if self.debias:
+            t = self.base_sde.sample_debiasing_t(key_t, (x.shape[0],))
+        else:
+            t = self.sample_t(key_t, x.shape[0])
         y, target, std, g = self.base_sde.sample(key_y, t, x, return_noise=True)
         a = self.score(y, t)
         return 0.5 * jnp.sum(

@@ -74,6 +74,16 @@ def make_train_step(optimizer, loss="ssm"):
     return train_step
 
 
+def update_ema(target_params, source_params, rate=0.99):
+    """Exponential moving average of parameters: target ← rate·target +
+    (1−rate)·source (reference: model/nn_utils.py:117-127 — defined there
+    but never called; provided here as a real utility). Pure function:
+    returns the new target pytree."""
+    return jax.tree_util.tree_map(
+        lambda t, s: rate * t + (1.0 - rate) * s, target_params, source_params
+    )
+
+
 def make_eval_step():
     """Jitted ELBO evaluation: (gen_sde, key, x_test) -> (mean, stderr)
     (reference: NN.py:123-128)."""

@@ -1,0 +1,105 @@
+"""Pallas kernels: interpret-mode parity with the jnp reference math, and
+autodiff dispatch (jvp/grad must work through the custom_jvp rules)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdeflow_tpu.ops.pallas.common import force_interpret, pallas_enabled
+from sdeflow_tpu.ops.pallas.attention import qkv_attention, _attention_math
+from sdeflow_tpu.ops.pallas.groupnorm import group_norm_silu, _gn_math
+from sdeflow_tpu.ops.pallas.circulant import circulant_apply, _circ_math
+from sdeflow_tpu.ops.gapply import circulant_sigma_apply
+
+
+def test_attention_kernel_matches_math(rng):
+    qkv = jax.random.normal(rng, (3, 64, 3 * 32))
+    ref = _attention_math(qkv, num_heads=4)
+    with force_interpret():
+        assert pallas_enabled()
+        out = qkv_attention(qkv, 4)
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_attention_grad_and_jvp(rng):
+    qkv = jax.random.normal(rng, (2, 16, 3 * 8))
+    g = jax.grad(lambda q: qkv_attention(q, 2).sum())(qkv)
+    assert bool(jnp.isfinite(g).all()) and float(jnp.abs(g).max()) > 0
+    v = jax.random.normal(jax.random.fold_in(rng, 1), qkv.shape)
+    _, tangent = jax.jvp(lambda q: qkv_attention(q, 2), (qkv,), (v,))
+    _, tangent_ref = jax.jvp(lambda q: _attention_math(q, 2), (qkv,), (v,))
+    assert np.allclose(np.asarray(tangent), np.asarray(tangent_ref), atol=1e-5)
+
+
+def test_groupnorm_kernel_matches_math(rng):
+    x = jax.random.normal(rng, (4, 49, 32)) * 3 + 1
+    gamma = jax.random.normal(jax.random.fold_in(rng, 1), (32,)) + 1
+    beta = jax.random.normal(jax.random.fold_in(rng, 2), (32,))
+    for silu in (False, True):
+        ref = _gn_math(x, gamma, beta, 8, silu)
+        with force_interpret():
+            out = group_norm_silu(x, gamma, beta, 8, silu)
+        assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_groupnorm_normalizes(rng):
+    x = jax.random.normal(rng, (2, 100, 16)) * 5 + 2
+    out = group_norm_silu(x, jnp.ones((16,)), jnp.zeros((16,)), 4, False)
+    xg = np.asarray(out).reshape(2, 100, 4, 4)
+    assert np.allclose(xg.mean(axis=(1, 3)), 0.0, atol=1e-4)
+    assert np.allclose(xg.var(axis=(1, 3)), 1.0, atol=1e-3)
+
+
+def test_groupnorm_grad(rng):
+    x = jax.random.normal(rng, (2, 10, 8))
+    gamma, beta = jnp.ones((8,)), jnp.zeros((8,))
+    g = jax.grad(lambda a: group_norm_silu(a, gamma, beta, 4, True).sum())(x)
+    assert bool(jnp.isfinite(g).all())
+
+
+def test_circulant_kernel_matches_math(rng):
+    y = jax.random.normal(rng, (300, 256))  # pads rows (300 -> 512 blocks)
+    w = jax.random.normal(jax.random.fold_in(rng, 1), (300, 256))
+    sb = jnp.full((300, 1), 1.3)
+    ref = _circ_math(sb, y, w)
+    with force_interpret():
+        out = circulant_apply(sb, y, w)
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    # consistency with the plain gapply stencil
+    assert np.allclose(
+        np.asarray(ref), np.asarray(circulant_sigma_apply(sb, y, w)), atol=1e-6
+    )
+
+
+def test_circulant_jvp(rng):
+    y = jax.random.normal(rng, (8, 16))
+    w = jax.random.normal(jax.random.fold_in(rng, 1), (8, 16))
+    sb = jnp.ones((8, 1))
+    dy = jax.random.normal(jax.random.fold_in(rng, 2), y.shape)
+    _, t1 = jax.jvp(lambda yy: circulant_apply(sb, yy, w), (y,), (dy,))
+    _, t2 = jax.jvp(lambda yy: _circ_math(sb, yy, w), (y,), (dy,))
+    assert np.allclose(np.asarray(t1), np.asarray(t2), atol=1e-5)
+
+
+def test_unet_with_kernels_still_trains(rng):
+    """The U-Net (now routed through the fused GroupNorm+SiLU and attention
+    ops) must still produce gradients through the SSM loss path."""
+    from sdeflow_tpu.models import VorticityUNet
+    from sdeflow_tpu.sde import SGMSde, PluginReverseSDE
+
+    model = VorticityUNet(base_channels=8, channel_mults=(1, 2),
+                          num_res_blocks=1, in_space=16,
+                          attention_resolutions=(2,))
+    x = jax.random.normal(rng, (4, 256))
+    variables = model.init(rng, x, jnp.zeros((4,)))
+    gen = PluginReverseSDE.create(SGMSde.create(), model.apply, variables)
+
+    def loss(params):
+        return gen.replace(a_params=params).ssm(jax.random.fold_in(rng, 1), x).mean()
+
+    val, grads = jax.value_and_grad(loss)(gen.a_params)
+    assert bool(jnp.isfinite(val))
+    assert all(
+        bool(jnp.isfinite(l).all()) for l in jax.tree_util.tree_leaves(grads)
+    )
