@@ -240,11 +240,10 @@ class PIV(ArraySampler):
         if normalized:
             name += "_norm"
 
-        folder_str = get_data_root()
-        folder_str += "largerImage" if large_image else (
+        sub = "largerImage" if large_image else (
             "newPIV2" if localized else "newPIV"
         )
-        folder = Path(folder_str)
+        folder = Path(os.path.join(get_data_root(), sub))
         _require(str(folder))
 
         npixelx_max = 64 if large_image else 4

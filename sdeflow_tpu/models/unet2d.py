@@ -46,6 +46,7 @@ class Upsample(nn.Module):
     use_conv: bool
     dims: int = 2
     odd_size: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -54,7 +55,8 @@ class Upsample(nn.Module):
             x = jnp.repeat(x, 2, axis=axis)
         if self.use_conv:
             x = nn.Conv(
-                self.channels, _kernel(self.dims, 3), padding="SAME", name="conv"
+                self.channels, _kernel(self.dims, 3), padding="SAME",
+                dtype=self.dtype, name="conv"
             )(x)
         if self.odd_size:
             sl = (slice(None),) + (slice(None, -1),) * self.dims + (slice(None),)
@@ -66,6 +68,7 @@ class Downsample(nn.Module):
     channels: int
     use_conv: bool
     dims: int = 2
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -76,6 +79,7 @@ class Downsample(nn.Module):
                 _kernel(self.dims, 3),
                 strides=_kernel(self.dims, 2),
                 padding=((1, 1),) * self.dims,
+                dtype=self.dtype,
                 name="op",
             )(x)
         return nn.avg_pool(x, _kernel(self.dims, 2), strides=_kernel(self.dims, 2))
@@ -95,16 +99,19 @@ class ResBlock(nn.Module):
     dims: int = 2
     no_bias_last_layer: bool = False
     deterministic: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, emb):
         out_ch = self.out_channels or self.channels
 
         h = GroupNorm32(self.channels, silu=True, name="in_norm")(x)
-        h = nn.Conv(out_ch, _kernel(self.dims, 3), padding="SAME", name="in_conv")(h)
+        h = nn.Conv(out_ch, _kernel(self.dims, 3), padding="SAME",
+                    dtype=self.dtype, name="in_conv")(h)
 
         emb_out = nn.Dense(
-            2 * out_ch if self.use_scale_shift_norm else out_ch, name="emb_dense"
+            2 * out_ch if self.use_scale_shift_norm else out_ch,
+            dtype=self.dtype, name="emb_dense"
         )(nn.silu(emb)).astype(h.dtype)
         emb_out = emb_out.reshape(emb_out.shape[0], *([1] * self.dims), -1)
 
@@ -124,6 +131,7 @@ class ResBlock(nn.Module):
             kernel_init=zero_init(),
             bias_init=zero_init(),
             use_bias=not self.no_bias_last_layer,
+            dtype=self.dtype,
             name="out_conv",
         )(h)
 
@@ -131,13 +139,15 @@ class ResBlock(nn.Module):
             skip = x
         elif self.use_conv:
             skip = nn.Conv(
-                out_ch, _kernel(self.dims, 3), padding="SAME", name="skip_conv"
+                out_ch, _kernel(self.dims, 3), padding="SAME",
+                dtype=self.dtype, name="skip_conv"
             )(x)
         else:
             skip = nn.Conv(
                 out_ch,
                 _kernel(self.dims, 1),
                 use_bias=not self.no_bias_last_layer,
+                dtype=self.dtype,
                 name="skip_conv",
             )(x)
         return skip + h
@@ -151,6 +161,7 @@ class AttentionBlock(nn.Module):
 
     channels: int
     num_heads: int = 1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -163,10 +174,11 @@ class AttentionBlock(nn.Module):
 
         x_flat = x.reshape(b, t, c)
         h = GroupNorm32(c, name="norm")(x_flat)
-        qkv = nn.Dense(3 * c, name="qkv")(h)  # 1×1 conv ≡ Dense over channels
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(h)  # 1×1 conv ≡ Dense over channels
         out = qkv_attention(qkv, self.num_heads)  # fused Pallas core
         out = nn.Dense(
-            c, kernel_init=zero_init(), bias_init=zero_init(), name="proj_out"
+            c, kernel_init=zero_init(), bias_init=zero_init(),
+            dtype=self.dtype, name="proj_out"
         )(out)
         return (x_flat + out).reshape(b, *spatial, c)
 
@@ -197,6 +209,9 @@ class UNetModel(nn.Module):
     num_heads_upsample: int = -1
     use_scale_shift_norm: bool = False
     learn_potential: bool = False
+    # compute dtype for convs/denses (bfloat16 feeds the MXU natively;
+    # GroupNorm statistics always stay fp32, and the model output is fp32)
+    dtype: jnp.dtype = jnp.float32
 
     def _res_block(self, name, deterministic, **kw):
         cls = nn.remat(ResBlock) if self.use_checkpoint else ResBlock
@@ -205,13 +220,14 @@ class UNetModel(nn.Module):
             dropout=self.dropout,
             use_scale_shift_norm=self.use_scale_shift_norm,
             deterministic=deterministic,
+            dtype=self.dtype,
             name=name,
             **kw,
         )
 
     def _attn_block(self, ch, heads, name):
         cls = nn.remat(AttentionBlock) if self.use_checkpoint else AttentionBlock
-        return cls(channels=ch, num_heads=heads, name=name)
+        return cls(channels=ch, num_heads=heads, dtype=self.dtype, name=name)
 
     @nn.compact
     def __call__(
@@ -231,9 +247,9 @@ class UNetModel(nn.Module):
 
         # --- embedding (reference model/unet.py:338-346, 469-473) ---
         emb = timestep_embedding(timesteps, self.model_channels)
-        emb = nn.Dense(time_embed_dim, name="time_embed_0")(emb)
+        emb = nn.Dense(time_embed_dim, dtype=self.dtype, name="time_embed_0")(emb)
         emb = nn.silu(emb)
-        emb = nn.Dense(time_embed_dim, name="time_embed_1")(emb)
+        emb = nn.Dense(time_embed_dim, dtype=self.dtype, name="time_embed_1")(emb)
         if self.num_classes is not None:
             assert y is not None and y.shape == (emb.shape[0],)
             emb = emb + nn.Embed(self.num_classes, time_embed_dim, name="label_emb")(y)
@@ -242,7 +258,8 @@ class UNetModel(nn.Module):
 
         # --- encoder (reference model/unet.py:352-389, 475-479) ---
         ch = self.model_channels * self.channel_mult[0]
-        h = nn.Conv(ch, _kernel(self.dims, 3), padding="SAME", name="conv_in")(x)
+        h = nn.Conv(ch, _kernel(self.dims, 3), padding="SAME",
+                    dtype=self.dtype, name="conv_in")(x.astype(self.dtype))
         hs = [h]
         ds = 1
         block_id = 0
@@ -262,7 +279,8 @@ class UNetModel(nn.Module):
                 block_id += 1
             if level != len(self.channel_mult) - 1:
                 h = Downsample(
-                    ch, self.conv_resample, dims=self.dims, name=f"down_ds{level}"
+                    ch, self.conv_resample, dims=self.dims, dtype=self.dtype,
+                    name=f"down_ds{level}"
                 )(h)
                 hs.append(h)
                 ds *= 2
@@ -312,6 +330,7 @@ class UNetModel(nn.Module):
                         self.conv_resample,
                         dims=self.dims,
                         odd_size=shapes[level] % 2 == 1,
+                        dtype=self.dtype,
                         name=f"up_us{level}",
                     )(h)
                     ds //= 2
@@ -326,8 +345,9 @@ class UNetModel(nn.Module):
             padding="SAME",
             kernel_init=zero_init(),
             bias_init=zero_init(),
+            dtype=self.dtype,
             name="conv_out",
-        )(out)
+        )(out).astype(jnp.float32)
         if return_features:
             features["out"] = out
             return features

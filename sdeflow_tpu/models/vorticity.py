@@ -67,6 +67,7 @@ class VorticityUNet(nn.Module):
     use_checkpoint: bool = False
     learn_potential: bool = False
     flatten_order: str = "C"
+    dtype: jnp.dtype = jnp.float32
 
     def _core(self):
         return UNetModel(
@@ -85,6 +86,7 @@ class VorticityUNet(nn.Module):
             num_heads=self.num_heads,
             use_scale_shift_norm=False,
             learn_potential=self.learn_potential,
+            dtype=self.dtype,
             name="core",
         )
 

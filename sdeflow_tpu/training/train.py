@@ -74,6 +74,52 @@ def make_train_step(optimizer, loss="ssm"):
     return train_step
 
 
+def make_train_chunk(optimizer, sample_fn, batch_size, loss="ssm"):
+    """Fuse MANY train steps into ONE device dispatch.
+
+    TPU-native optimization with no reference counterpart: the reference
+    re-enters Python every iteration (MSGM_higherDim.py:803-809). Here a
+    `lax.scan` runs `num_steps` full SSM/DSM+Adam steps — including
+    on-device data sampling via `sample_fn(key, batch_size)` — inside one
+    jitted program, so per-step host dispatch latency (milliseconds over a
+    remote-TPU link) amortizes to nothing. Requires a jittable sampler
+    (all synthetic samplers and ArraySampler index-gathers qualify).
+
+    Returns chunk(state, key, num_steps static) -> (state, last_loss).
+    """
+    from functools import partial as _partial
+
+    def loss_fn(params, gen_sde, key, x):
+        gen = gen_sde.replace(a_params=params)
+        per_sample = gen.ssm(key, x) if loss == "ssm" else gen.dsm(key, x)
+        return per_sample.mean()
+
+    @_partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
+    def chunk(state: TrainState, key, num_steps: int):
+        def body(st, i):
+            k = jax.random.fold_in(key, i)
+            k_data, k_loss = jax.random.split(k)
+            x = sample_fn(k_data, batch_size)
+            value, grads = jax.value_and_grad(loss_fn)(
+                st.gen_sde.a_params, st.gen_sde, k_loss, x
+            )
+            updates, opt_state = optimizer.update(
+                grads, st.opt_state, st.gen_sde.a_params
+            )
+            params = optax.apply_updates(st.gen_sde.a_params, updates)
+            st = TrainState(
+                gen_sde=st.gen_sde.replace(a_params=params),
+                opt_state=opt_state,
+                step=st.step + 1,
+            )
+            return st, value
+
+        state, losses = jax.lax.scan(body, state, jnp.arange(num_steps))
+        return state, losses[-1]
+
+    return chunk
+
+
 def update_ema(target_params, source_params, rate=0.99):
     """Exponential moving average of parameters: target ← rate·target +
     (1−rate)·source (reference: model/nn_utils.py:117-127 — defined there
@@ -115,6 +161,7 @@ class Trainer:
         save_every=100_000,
         checkpoint_path: Optional[str] = None,
         log_fn: Callable[[str], None] = print,
+        steps_per_dispatch: int = 1,
     ):
         self.optimizer = optax.adam(lr)
         self.state = TrainState(
@@ -128,7 +175,12 @@ class Trainer:
         self.save_every = save_every
         self.checkpoint_path = checkpoint_path
         self.log_fn = log_fn
+        self.steps_per_dispatch = int(steps_per_dispatch)
         self.train_step = make_train_step(self.optimizer, loss=loss)
+        if self.steps_per_dispatch > 1:
+            self.train_chunk = make_train_chunk(
+                self.optimizer, sampler.sample, batch_size, loss=loss
+            )
         self.eval_step = make_eval_step()
         self.history = []
 
@@ -149,34 +201,55 @@ class Trainer:
 
         start_time = time.time()
         loss = None
-        for i in range(start_iter, iterations):
-            key, key_data, key_loss = jax.random.split(key, 3)
-            x = self.sampler.sample(key_data, self.batch_size)
-            self.state, loss = self.train_step(self.state, key_loss, x)
+        i = start_iter  # completed steps
+        steps_since_print = 0
+        while i < iterations:
+            if self.steps_per_dispatch > 1 and i > 0:
+                # fused multi-step dispatch, aligned to the print cadence
+                boundary = min(
+                    iterations,
+                    ((i // self.print_every) + 1) * self.print_every,
+                )
+                n = min(self.steps_per_dispatch, max(1, boundary - i))
+                key, key_chunk = jax.random.split(key)
+                self.state, loss = self.train_chunk(self.state, key_chunk, n)
+                i += n
+                steps_since_print += n
+            else:
+                key, key_data, key_loss = jax.random.split(key, 3)
+                x = self.sampler.sample(key_data, self.batch_size)
+                self.state, loss = self.train_step(self.state, key_loss, x)
+                i += 1
+                steps_since_print += 1
 
-            if (i == 0) or ((i + 1) % self.print_every == 0):
-                key, key_eval = jax.random.split(key)
-                x_eval = x_test if x_test is not None else x
+            if (i == 1) or (i % self.print_every == 0) or i >= iterations:
+                key, key_eval, key_xe = jax.random.split(key, 3)
+                x_eval = (
+                    x_test
+                    if x_test is not None
+                    else self.sampler.sample(key_xe, self.batch_size)
+                )
                 elbo, elbo_std = self.eval_step(self.state.gen_sde, key_eval, x_eval)
                 elapsed = time.time() - start_time
                 self.log_fn(
                     "| iter {:6d} | {:5.2f} ms/step | loss {:8.3f} | "
                     "elbo {:8.3f} | elbo std {:8.3f}".format(
-                        i + 1,
-                        elapsed * 1000 / self.print_every,
+                        i,
+                        elapsed * 1000 / max(1, steps_since_print),
                         float(loss),
                         float(elbo),
                         float(elbo_std),
                     )
                 )
                 self.history.append(
-                    dict(step=i + 1, loss=float(loss), elbo=float(elbo))
+                    dict(step=i, loss=float(loss), elbo=float(elbo))
                 )
                 if self.checkpoint_path:
-                    save_checkpoint(self.checkpoint_path, self.state, key, i)
-                    if (i + 1) % self.save_every == 0:
+                    save_checkpoint(self.checkpoint_path, self.state, key, i - 1)
+                    if i % self.save_every == 0:
                         save_checkpoint(
-                            f"{self.checkpoint_path}_{i + 1}", self.state, key, i
+                            f"{self.checkpoint_path}_{i}", self.state, key, i - 1
                         )
                 start_time = time.time()
+                steps_since_print = 0
         return self.state, float(loss) if loss is not None else None

@@ -192,3 +192,18 @@ def test_vorticity_unet_learn_potential(rng):
     out = model.apply(variables, x, t)
     assert out.shape == (2, d)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_unet2d_bfloat16_compute(rng):
+    """bf16 compute dtype: same params, fp32 output, close to fp32 compute."""
+    import jax.numpy as jnp
+
+    x = jax.random.normal(rng, (2, 16, 16, 1))
+    t = jnp.asarray([0.3, 0.7])
+    m32 = _tiny_unet()
+    mbf = _tiny_unet(dtype=jnp.bfloat16)
+    variables = m32.init(jax.random.fold_in(rng, 1), x, t)
+    out32 = m32.apply(variables, x, t)
+    outbf = mbf.apply(variables, x, t)
+    assert outbf.dtype == jnp.float32  # output cast back
+    assert float(jnp.abs(out32 - outbf).max()) < 0.1

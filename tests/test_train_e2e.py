@@ -122,3 +122,17 @@ def test_trainer_resume(rng, tmp_path):
     state, _ = t2.run(jax.random.fold_in(rng, 1), 6, resume=True)
     assert any("Resuming" in l for l in logs)
     assert int(state.step) >= 5
+
+
+def test_chunked_trainer_matches_semantics(rng):
+    """steps_per_dispatch>1 must complete the same number of steps and learn
+    (the fused lax.scan trainer; data sampled on device inside the scan)."""
+    sampler = SwissRoll()
+    gen = _mk_sgm_gen(rng, sampler, num_steps_forward=8)
+    tr = Trainer(gen, sampler, batch_size=64, print_every=400,
+                 steps_per_dispatch=200)
+    state, loss = tr.run(jax.random.fold_in(rng, 1), 800)
+    assert int(state.step) == 800
+    assert np.isfinite(loss)
+    # learned something: loss well below the untrained value
+    assert tr.history[-1]["loss"] < tr.history[0]["loss"]
