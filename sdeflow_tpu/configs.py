@@ -43,6 +43,10 @@ class TrainConfig:
     num_res_blocks: int = 2
     attention_resolutions: Tuple[int, ...] = (2, 4)
     emb_dim: int = 128
+    # fused multi-step training: >1 runs this many SSM+Adam steps per device
+    # dispatch via lax.scan with on-device data sampling (all samplers here
+    # are jittable); amortizes host dispatch latency on remote accelerators
+    steps_per_dispatch: int = 256
 
 
 @dataclass(frozen=True)

@@ -350,6 +350,8 @@ class ExperimentDriver:
                 loss="ssm", print_every=tc.print_every,
                 save_every=tc.save_every, checkpoint_path=checkpoint_path,
                 log_fn=self.log,
+                steps_per_dispatch=min(tc.steps_per_dispatch,
+                                       max(1, iterations // 2)),
             )
             state, _ = trainer.run(key_train, iterations,
                                    x_test=xtest[: min(1000, xtest.shape[0])])

@@ -32,11 +32,21 @@ def build_parser():
                    help="force the CPU backend (the reference's force_cpu)")
     p.add_argument("--data-root", default=None,
                    help="root for file-backed datasets (../MSGM-data/)")
+    p.add_argument("--delay", type=float, default=0.0,
+                   help="sleep this many seconds before starting, to stagger "
+                        "concurrent runs (the reference's `delayed` flag, "
+                        "MSGM_higherDim.py:171-172, 773-776)")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    if args.delay > 0:
+        import time
+
+        print(f"delayed {args.delay}s ...")
+        time.sleep(args.delay)
 
     import jax
 

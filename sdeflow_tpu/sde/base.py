@@ -55,6 +55,11 @@ class SDEBehavior:
     def beta(self, t):
         return beta_linear(t, self.beta_min, self.beta_max)
 
+    def ijk(self):
+        """Sparse COO indices of the noise tensor; None unless the SDE uses
+        the structured circulant G (reference IJK stub, SDEs.py:75-76)."""
+        return None
+
     # -- numeric forward perturbation (MSGM path) ---------------------------
     def sample_scheme(self, key, t, y0):
         """Sample y_t | y_0 by numerically integrating the forward SDE.

@@ -54,6 +54,12 @@ class SGMSde(SDEBehavior):
     def dim(self):
         return None  # dimension-agnostic
 
+    @property
+    def logvar_mean_T(self):
+        """Stationary latent law: N(0, 1) per dim — (logvar, mean) = (0, 0)
+        (reference: SDEs.py:171-175)."""
+        return jnp.zeros(1), jnp.zeros(1)
+
     # -- closed-form moments (reference SDEs.py:177-181) --------------------
     def mean_weight(self, t):
         return jnp.exp(

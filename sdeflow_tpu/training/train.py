@@ -94,7 +94,9 @@ def make_train_chunk(optimizer, sample_fn, batch_size, loss="ssm"):
         per_sample = gen.ssm(key, x) if loss == "ssm" else gen.dsm(key, x)
         return per_sample.mean()
 
-    @_partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
+    # no buffer donation: the state is small and donated inputs trip an
+    # InvalidArgument in the remote-TPU (axon) runtime
+    @_partial(jax.jit, static_argnums=(2,))
     def chunk(state: TrainState, key, num_steps: int):
         def body(st, i):
             k = jax.random.fold_in(key, i)
