@@ -49,6 +49,11 @@ def timestep_embedding(timesteps, dim, max_period=10000):
     return embedding
 
 
+def mean_flat(tensor):
+    """Mean over all non-batch dimensions (reference: model/nn_utils.py:100-104)."""
+    return tensor.mean(axis=tuple(range(1, tensor.ndim)))
+
+
 def zero_init():
     """Initializer for zero-initialized output convs/denses
     (reference zero_module)."""
