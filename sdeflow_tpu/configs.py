@@ -297,7 +297,7 @@ def _era5temp():
     return ExperimentConfig(
         name="era5temp",
         data=DataConfig(
-            datatype="era5",
+            datatype="era5temp",
             dims=(10,),
             normalized=False,
             use_deseason=True,
@@ -312,7 +312,7 @@ def _era5vorttemp():
         name="era5vorttemp",
         train=TrainConfig(beta_max=5.0, beta_max_sgm=5.0),
         data=DataConfig(
-            datatype="era5",
+            datatype="era5vorttemp",
             dims=(16,),
             normalized=False,
             season="winter",

@@ -62,15 +62,23 @@ def make_sampler(cfg: ExperimentConfig, dim, key, complexity=None):
         return D.Lorenz63(dim, normalized=dc.normalized,
                           few_data=dc.few_data, ntrain_max=ntrain_max)
     if dt == "lorenz96":
-        return D.Lorenz96(int(complexity or 100), dim,
-                          normalized=dc.normalized)
+        # complexity carries n_dim_L96 here (reference MSGM_higherDim.py:581);
+        # the default inf sentinel from ntrain_maxs means "use the default"
+        if complexity is None or not np.isfinite(complexity):
+            n_dim = 100
+        else:
+            n_dim = int(complexity)
+        return D.Lorenz96(n_dim, dim, normalized=dc.normalized)
     if dt == "pod":
         return D.PODmodes(int(complexity or 300), dim,
                           normalized=dc.normalized,
                           mixed_times=dc.mixed_times,
                           concatenate_re=dc.concatenate_re,
                           few_data=dc.few_data, ntrain_max=ntrain_max)
-    if dt == "era5":
+    if dt.startswith("era5"):
+        # era5 / era5temp / era5vorttemp share the loader; the datatype
+        # string drives the plotting layout special cases
+        # (reference MSGM_higherDim.py:588-637, own_plotting.py:140-163)
         return D.ERA5(dim, variables=dc.era5_variables, season=dc.season,
                       use_deseason=dc.use_deseason,
                       mixed_times=dc.mixed_times)
@@ -218,10 +226,8 @@ class ExperimentDriver:
                     arm_cfg = replace(
                         cfg, data=replace(dc, normalized=normalized)
                     )
-                    self_cfg_backup, self.cfg = self.cfg, arm_cfg
                     sampler = make_sampler(arm_cfg, dim, key_sampler,
                                            complexity=complexity)
-                    self.cfg = self_cfg_backup
 
                     directory = os.path.join(folder_results, sampler.name)
                     os.makedirs(directory, exist_ok=True)

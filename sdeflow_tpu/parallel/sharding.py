@@ -70,24 +70,24 @@ def make_parallel_train_step(optimizer, mesh: Mesh, loss="ssm"):
 
 
 def shard_mlp_params(variables, mesh: Mesh):
-    """Tensor-parallel placement for the MLP score net: hidden matmuls
-    sharded over the "model" axis (dense0 column-sharded, dense1/2
-    row+column, output row-sharded). XLA inserts the reduce over "model"
-    where a row-sharded matmul contracts."""
+    """Tensor-parallel placement for the MLP score net in the Megatron
+    column→row pairing: dense0/dense2 kernels column-sharded P(None,"model")
+    (activations come out hidden-sharded, biases sharded to match), and
+    dense1/dense_out kernels row-sharded P("model",None) (local contraction
+    over the sharded hidden axis, then one psum; biases replicated). Each
+    hidden matmul then contracts locally with a single reduce instead of
+    all-gathering activations between layers."""
+
+    COLUMN = ("dense0", "dense2")  # outputs sharded over "model"
+    ROW = ("dense1", "dense_out")  # contract the sharded axis, psum after
 
     def place(path, x):
         name = "/".join(str(p) for p in path)
-        if x.ndim == 2:
-            if "dense0" in name:
-                spec = P(None, "model")
-            elif "dense_out" in name:
-                spec = P("model", None)
-            else:
-                spec = P(None, "model")
-        elif x.ndim == 1 and "dense_out" not in name:
-            spec = P("model")
-        else:
-            spec = P()
+        spec = P()
+        if any(k in name for k in COLUMN):
+            spec = P(None, "model") if x.ndim == 2 else P("model")
+        elif any(k in name for k in ROW):
+            spec = P("model", None) if x.ndim == 2 else P()
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, variables)

@@ -94,7 +94,12 @@ class SDEBehavior:
         flow = ForwardFlow(base_sde=self, T=self.T)
         key_traj, key_one = jax.random.split(key)
 
-        # full forward solve, selecting the state after n_int[b] steps
+        # full forward solve, selecting the state after n_int[b] steps.
+        # NOTE: no norm re-projection here — the reference's training-time
+        # perturbation integrates without norm_correction (SDEs.py:104-132
+        # call the RK4 sampler with its default norm_correction=False); the
+        # exact projection is applied only at generation/diagnostic time
+        # (MSGM_higherDim.py:785, 906).
         y_sel = integrate_select(
             flow,
             y0,
@@ -102,7 +107,6 @@ class SDEBehavior:
             num_steps,
             select_idx=n_int,
             method="rk4",
-            norm_correction=self.norm_correction,
         )
 
         # masked fallback: a single RK4 step of size t_b for n_int == 0
@@ -112,10 +116,6 @@ class SDEBehavior:
             key_one, y0.shape, dtype=y0.dtype
         )
         y_one = rk4_step(flow, jnp.zeros_like(delta), y0, delta, dW)
-        if self.norm_correction:
-            n0 = jnp.linalg.norm(y0, axis=-1, keepdims=True)
-            n1 = jnp.linalg.norm(y_one, axis=-1, keepdims=True)
-            y_one = y_one * (n0 / jnp.maximum(n1, 1e-12))
 
         return jnp.where((n_int > 0)[:, None], y_sel, y_one)
 
@@ -131,6 +131,8 @@ class SDEBehavior:
         from sdeflow_tpu.ops.integrators import integrate_sde
 
         flow = ForwardFlow(base_sde=self, T=self.T)
+        # like sample_scheme: no norm re-projection in the training-time
+        # perturbation (reference SDEs.py:124-132)
         return integrate_sde(
             flow,
             y0,
@@ -139,7 +141,6 @@ class SDEBehavior:
             method="rk4",
             keep_all=True,
             include_t0=include_t0,
-            norm_correction=self.norm_correction,
         )
 
     def sample_debiasing_t(self, key, shape):

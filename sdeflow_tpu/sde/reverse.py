@@ -202,12 +202,21 @@ class PluginReverseSDE:
 
     def elbo_random_t_slice(self, key, x):
         """ELBO estimate: log p_latent(y_T|x) − ssm/qt
-        (reference: SDEs.py:708-721)."""
-        key_ssm, key_txy, key_lat = jax.random.split(key, 3)
+        (reference: SDEs.py:708-721). The reference re-runs sample_txy just
+        to rebuild (t, x) for the conditional latent (SDEs.py:717) — but
+        cond_latent_sample never uses t and its x is x (tiled in intT mode),
+        so we build x2 directly and skip that second forward solve (for MSGM
+        a whole RK4 scan per evaluation)."""
+        key_ssm, key_lat = jax.random.split(key)
         qt = 1.0 / self.T
         loss_ssm = self.ssm(key_ssm, x) / qt
-        t, x2, _ = self.sample_txy(key_txy, x)
-        yT = self.base_sde.cond_latent_sample(key_lat, t, x2)
+        if self.ssm_intT:
+            s = self.base_sde.num_steps_forward - self.intT_start
+            x2 = jnp.tile(x, (s, 1))
+        else:
+            x2 = x
+        t_dummy = jnp.zeros((x2.shape[0],), x.dtype)
+        yT = self.base_sde.cond_latent_sample(key_lat, t_dummy, x2)
         lp = self.base_sde.log_latent_pdf(yT)
         lp = lp.reshape(x2.shape[0], -1).sum(axis=1)
         return lp - loss_ssm

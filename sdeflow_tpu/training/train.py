@@ -139,7 +139,9 @@ def make_eval_step():
     @jax.jit
     def eval_step(gen_sde, key, x_test):
         elbo = gen_sde.elbo_random_t_slice(key, x_test)
-        n = elbo.shape[0]
+        # stderr over the TEST BATCH size like the reference (NN.py:126-128),
+        # not over the intT-expanded S'·B evaluation count
+        n = x_test.shape[0]
         return elbo.mean(), elbo.std() / jnp.sqrt(jnp.asarray(n, elbo.dtype))
 
     return eval_step

@@ -67,22 +67,43 @@ def test_diffusion_action_is_norm_tangent(rng):
 
 @pytest.mark.parametrize("dense_tensor", [True, False])
 def test_forward_flow_preserves_norm(rng, dense_tensor):
+    """The training-time perturbation is NOT norm-projected (matching the
+    reference, SDEs.py:104-132), but the RK4-Stratonovich scheme itself
+    conserves ‖y‖ to discretization error; exact conservation holds when
+    generating with norm_correction=True."""
     d = 6
     key_data, key_sde, key_t, key_s = jax.random.split(rng, 4)
     y0 = jax.random.normal(key_data, (64, d)) * 2.0 + 1.0
+    n0 = jnp.linalg.norm(y0, axis=1)
+    t = jax.random.uniform(key_t, (64,))
+
+    def median_drift(steps):
+        sde = MSGMSde.create(
+            key_sde, y0, dense_tensor=dense_tensor, num_steps_forward=steps
+        )
+        yt = sde.sample(key_s, t, y0)
+        return float(jnp.median(jnp.abs(jnp.linalg.norm(yt, axis=1) / n0 - 1)))
+
+    # unprojected scheme: small typical drift that shrinks with dt
+    d32, d128 = median_drift(32), median_drift(128)
+    assert d32 < 0.05
+    assert d128 < d32
+
+    # exact conservation on the norm-corrected (generation) path
+    from sdeflow_tpu.sde.forward import ForwardFlow
+    from sdeflow_tpu.ops.integrators import integrate_sde
+
     sde = MSGMSde.create(
         key_sde, y0, dense_tensor=dense_tensor, num_steps_forward=32
     )
-    t = jax.random.uniform(key_t, (64,))
-    yt = sde.sample(key_s, t, y0)
-    assert jnp.allclose(
-        jnp.linalg.norm(yt, axis=1), jnp.linalg.norm(y0, axis=1), rtol=1e-4
-    )
+    flow = ForwardFlow(base_sde=sde, T=sde.T)
+    yT = integrate_sde(flow, y0, key_s, 32, method="rk4", norm_correction=True)
+    assert jnp.allclose(jnp.linalg.norm(yT, axis=1), n0, rtol=1e-4)
 
 
 def test_sample_scheme_small_t_fallback(rng):
     """Times below one grid step take the masked 1-step path and must still
-    preserve the norm and stay finite."""
+    approximately preserve the norm and stay finite."""
     d = 4
     key_data, key_sde, key_s = jax.random.split(rng, 3)
     y0 = jax.random.normal(key_data, (16, d))
@@ -91,7 +112,7 @@ def test_sample_scheme_small_t_fallback(rng):
     yt = sde.sample(key_s, t, y0)
     assert bool(jnp.isfinite(yt).all())
     assert jnp.allclose(
-        jnp.linalg.norm(yt, axis=1), jnp.linalg.norm(y0, axis=1), rtol=1e-4
+        jnp.linalg.norm(yt, axis=1), jnp.linalg.norm(y0, axis=1), rtol=0.02
     )
     # and it actually moved
     assert float(jnp.mean(jnp.abs(yt - y0))) > 1e-4
