@@ -436,6 +436,26 @@ class ExperimentDriver:
                         else:
                             mmd_sgm[idx] = out["mmd"]
 
+    def load_mmd_and_plot(self, folder=None):
+        """Reload previously saved MMD result tensors and regenerate the
+        convergence plots without re-running the sweep (the reference's
+        justLoadmmmd mode, MSGM_higherDim.py:920-930)."""
+        folder = folder or self.cfg.results_dir
+        sw, dc = self.cfg.sweep, self.cfg.data
+        tag = f"_{sw.nruns_mmd}runs"
+        self.results = dict(
+            mmd_sgm=np.load(os.path.join(folder, f"globalMMDfile_SGM{tag}.npy")),
+            mmd_msgm=np.load(os.path.join(folder, f"globalMMDfile_MSGM{tag}.npy")),
+            mmd_ref=np.load(os.path.join(folder, f"globalMMDfile_ref{tag}.npy")),
+            dims=list(dc.dims),
+            complexitys=(
+                list(sw.Res) if dc.datatype == "pod" else list(sw.ntrain_maxs)
+            ),
+        )
+        if self.make_plots:
+            self._convergence_plots(folder)
+        return self.results
+
     # -- results persistence + convergence plots -------------------------------
     def _save_mmd_arrays(self, folder):
         """(reference: MSGM_higherDim.py:931-936)"""

@@ -26,6 +26,9 @@ def build_parser():
     p.add_argument("--no-plots", action="store_true")
     p.add_argument("--just-load", action="store_true",
                    help="reload saved sample trajectories instead of sampling")
+    p.add_argument("--just-load-mmd", action="store_true",
+                   help="reload saved MMD result tensors and regenerate the "
+                        "convergence plots (the reference's justLoadmmmd)")
     p.add_argument("--results-dir", default="results")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true",
@@ -78,8 +81,11 @@ def main(argv=None):
 
     print(f"preset = {cfg.name}; backend = {jax.default_backend()}")
     driver = ExperimentDriver(cfg, make_plots=not args.no_plots)
-    results = driver.run(jax.random.PRNGKey(args.seed),
-                         just_load=args.just_load)
+    if args.just_load_mmd:
+        results = driver.load_mmd_and_plot()
+    else:
+        results = driver.run(jax.random.PRNGKey(args.seed),
+                             just_load=args.just_load)
     if args.eval_mmd:
         import numpy as np
 
