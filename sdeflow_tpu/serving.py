@@ -1,0 +1,95 @@
+"""Deployment: serialized, AOT-exportable samplers.
+
+No reference counterpart (the reference is a research script); this is the
+production-serving layer a TPU framework needs: the entire reverse-SDE
+generation program — latent draw + N-step solve with the score net baked
+in — is staged to StableHLO with `jax.export`, serialized to disk, and
+reloadable into any process (same or newer jax) without the Python model
+code. The exported artifact takes only a PRNG key and returns samples, so a
+serving host needs nothing but jax + the artifact bytes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+from sdeflow_tpu.ops.integrators import integrate_sde
+
+
+def make_sampler_fn(gen_sde, num_samples, dim, num_steps, *, method="rk4",
+                    lmbd=0.0, norm_correction=False, keep_all=False):
+    """Close the generative program over a trained PluginReverseSDE:
+    key -> (num_samples, dim) samples (or the full trajectory)."""
+
+    def sample(key):
+        k_lat, k_solve = jax.random.split(key)
+        x0 = gen_sde.latent_sample(k_lat, num_samples, dim)
+        return integrate_sde(
+            gen_sde, x0, k_solve, num_steps, method=method, lmbd=lmbd,
+            norm_correction=norm_correction, keep_all=keep_all,
+        )
+
+    return sample
+
+
+def export_sampler(gen_sde, path, num_samples, dim, num_steps, *,
+                   method="rk4", lmbd=0.0, norm_correction=False,
+                   platforms: Optional[list] = None):
+    """Stage + serialize the full sampling program to `path`.
+
+    platforms: lowering targets, e.g. ["tpu"], ["cpu"], or both; defaults
+    to the current backend.
+    """
+    fn = make_sampler_fn(
+        gen_sde, num_samples, dim, num_steps, method=method, lmbd=lmbd,
+        norm_correction=norm_correction,
+    )
+    key_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
+
+    def fn_from_raw(raw_key):
+        return fn(jax.random.wrap_key_data(raw_key))
+
+    exported = jax_export.export(
+        jax.jit(fn_from_raw),
+        platforms=platforms,
+    )(key_spec)
+    blob = exported.serialize()
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(blob)
+    meta = dict(
+        num_samples=num_samples, dim=dim, num_steps=num_steps, method=method,
+        lmbd=lmbd, norm_correction=norm_correction,
+        platforms=list(exported.platforms),
+    )
+    with open(path + ".json", "w") as f:
+        json.dump(meta, f, indent=2)
+    return meta
+
+
+class Sampler:
+    """Serving-side handle: load an exported sampling program and generate.
+
+    Usage:
+        s = Sampler("model.sdeflow")
+        batch = s(jax.random.PRNGKey(0))
+    """
+
+    def __init__(self, path):
+        with open(path, "rb") as f:
+            self._exported = jax_export.deserialize(bytearray(f.read()))
+        meta_path = path + ".json"
+        self.meta = None
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                self.meta = json.load(f)
+        self._call = jax.jit(self._exported.call)
+
+    def __call__(self, key):
+        return self._call(jax.random.key_data(key).astype(jnp.uint32))

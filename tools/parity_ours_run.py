@@ -18,6 +18,8 @@ def main():
     ap.add_argument("--steps-back", type=int, default=128)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default="parity_ours.json")
+    ap.add_argument("--arms", default="sgm,msgm",
+                    help="comma list of arms to run (sgm, msgm)")
     args = ap.parse_args()
 
     import jax
@@ -34,9 +36,12 @@ def main():
     from sdeflow_tpu.eval.diagnostics import filter_blowups
     from sdeflow_tpu.ops.integrators import integrate_sde
 
+    arms = [a.strip().lower() for a in args.arms.split(",")]
     results = []
     for is_msgm in (False, True):
         arm = "MSGM" if is_msgm else "SGM"
+        if arm.lower() not in arms:
+            continue
         print(f"running {arm} arm on {jax.default_backend()}...", flush=True)
         key = jax.random.PRNGKey(0)
         sampler = SwissRoll()
