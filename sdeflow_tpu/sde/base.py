@@ -94,12 +94,13 @@ class SDEBehavior:
         flow = ForwardFlow(base_sde=self, T=self.T)
         key_traj, key_one = jax.random.split(key)
 
-        # full forward solve, selecting the state after n_int[b] steps.
-        # NOTE: no norm re-projection here — the reference's training-time
-        # perturbation integrates without norm_correction (SDEs.py:104-132
-        # call the RK4 sampler with its default norm_correction=False); the
-        # exact projection is applied only at generation/diagnostic time
-        # (MSGM_higherDim.py:785, 906).
+        # The reference's training-time perturbation integrates WITHOUT norm
+        # re-projection (SDEs.py:104-132 call the RK4 sampler with its
+        # default norm_correction=False; projection only happens at
+        # generation/diagnostic time, MSGM_higherDim.py:785, 906). The
+        # project_training_norms flag opts into projecting here as well — a
+        # measured quality improvement over the reference (PARITY.md).
+        project = getattr(self, "project_training_norms", False)
         y_sel = integrate_select(
             flow,
             y0,
@@ -107,6 +108,7 @@ class SDEBehavior:
             num_steps,
             select_idx=n_int,
             method="rk4",
+            norm_correction=project,
         )
 
         # masked fallback: a single RK4 step of size t_b for n_int == 0
@@ -116,6 +118,10 @@ class SDEBehavior:
             key_one, y0.shape, dtype=y0.dtype
         )
         y_one = rk4_step(flow, jnp.zeros_like(delta), y0, delta, dW)
+        if project:
+            n0 = jnp.linalg.norm(y0, axis=-1, keepdims=True)
+            n1 = jnp.linalg.norm(y_one, axis=-1, keepdims=True)
+            y_one = y_one * (n0 / jnp.maximum(n1, 1e-12))
 
         return jnp.where((n_int > 0)[:, None], y_sel, y_one)
 
@@ -131,8 +137,8 @@ class SDEBehavior:
         from sdeflow_tpu.ops.integrators import integrate_sde
 
         flow = ForwardFlow(base_sde=self, T=self.T)
-        # like sample_scheme: no norm re-projection in the training-time
-        # perturbation (reference SDEs.py:124-132)
+        # reference-faithful: unprojected unless project_training_norms
+        # (see sample_scheme; reference SDEs.py:124-132)
         return integrate_sde(
             flow,
             y0,
@@ -141,6 +147,7 @@ class SDEBehavior:
             method="rk4",
             keep_all=True,
             include_t0=include_t0,
+            norm_correction=getattr(self, "project_training_norms", False),
         )
 
     def sample_debiasing_t(self, key, shape):

@@ -69,6 +69,14 @@ class MSGMSde(SDEBehavior):
     norm_sampler: str = struct.field(pytree_node=False, default="ecdf")
     norm_map: Optional[str] = struct.field(pytree_node=False, default=None)
     norm_correction: bool = struct.field(pytree_node=False, default=True)
+    # Optional: re-project each RK4 step of the TRAINING-TIME forward
+    # perturbation to the exact conserved norm. The reference trains on
+    # unprojected solves (SDEs.py:104-132 use the sampler's default
+    # norm_correction=False). Enabling this removes the integrator's
+    # norm-drift from the score-matching targets; measured sample quality
+    # on the swissroll parity config is statistically indistinguishable
+    # either way (PARITY.md). Default False = reference-faithful.
+    project_training_norms: bool = struct.field(pytree_node=False, default=False)
     name: str = struct.field(pytree_node=False, default="MSGM")
 
     @classmethod
@@ -87,6 +95,7 @@ class MSGMSde(SDEBehavior):
         norm_map=None,
         kernel="gaussian",
         estimate_norm_constant=True,
+        project_training_norms=False,
         dtype=jnp.float32,
     ):
         """Build the SDE from data y0: (N, d).
@@ -138,6 +147,7 @@ class MSGMSde(SDEBehavior):
             circulant=not dense_tensor,
             norm_sampler=norm_sampler,
             norm_map=norm_map,
+            project_training_norms=project_training_norms,
             name=name,
         )
 

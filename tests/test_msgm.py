@@ -182,3 +182,24 @@ def test_cond_latent_keeps_radius(rng):
     assert jnp.allclose(
         jnp.linalg.norm(yT, axis=1), jnp.linalg.norm(x, axis=1), rtol=1e-5
     )
+
+
+def test_project_training_norms_option(rng):
+    """Opt-in exact norm projection of the training-time perturbation (our
+    documented improvement knob; default off = reference-faithful)."""
+    d = 6
+    key_data, key_sde, key_t, key_s = jax.random.split(rng, 4)
+    y0 = jax.random.normal(key_data, (32, d)) * 2.0 + 1.0
+    sde = MSGMSde.create(
+        key_sde, y0, num_steps_forward=16, project_training_norms=True
+    )
+    t = jax.random.uniform(key_t, (32,))
+    yt = sde.sample(key_s, t, y0)
+    assert jnp.allclose(
+        jnp.linalg.norm(yt, axis=1), jnp.linalg.norm(y0, axis=1), rtol=1e-4
+    )
+    traj = sde.sample_scheme_allt(key_s, y0)
+    assert jnp.allclose(
+        jnp.linalg.norm(traj[-1], axis=1), jnp.linalg.norm(y0, axis=1),
+        rtol=1e-4,
+    )

@@ -20,6 +20,9 @@ def main():
     ap.add_argument("--out", default="parity_ours.json")
     ap.add_argument("--arms", default="sgm,msgm",
                     help="comma list of arms to run (sgm, msgm)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--project", action="store_true",
+                    help="enable project_training_norms (our quality knob)")
     args = ap.parse_args()
 
     import jax
@@ -43,7 +46,7 @@ def main():
         if arm.lower() not in arms:
             continue
         print(f"running {arm} arm on {jax.default_backend()}...", flush=True)
-        key = jax.random.PRNGKey(0)
+        key = jax.random.PRNGKey(args.seed)
         sampler = SwissRoll()
         d = 2
         premodule = "NormalizeLogRadius" if is_msgm else None
@@ -60,6 +63,7 @@ def main():
                 beta_max=20.0, t_epsilon=1e-3, num_steps_forward=16,
                 dense_tensor=True, norm_sampler="ecdf", norm_map="log",
                 estimate_norm_constant=False,
+                project_training_norms=args.project,
             )
         else:
             sde = SGMSde.create(beta_min=0.1, beta_max=20.0, t_epsilon=1e-3,
