@@ -1,6 +1,7 @@
-from sdeflow_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+from sdeflow_tpu.parallel.mesh import make_mesh, shard_batch, replicate, init_distributed
 from sdeflow_tpu.parallel.sharding import (
     make_parallel_train_step,
+    make_parallel_train_chunk,
     shard_mlp_params,
     sharded_kernel_mean,
     sharded_mmd,
@@ -12,6 +13,8 @@ __all__ = [
     "shard_batch",
     "replicate",
     "make_parallel_train_step",
+    "make_parallel_train_chunk",
+    "init_distributed",
     "shard_mlp_params",
     "sharded_kernel_mean",
     "sharded_mmd",

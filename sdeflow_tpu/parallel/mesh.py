@@ -21,6 +21,21 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Multi-host initialization: call once per process before any jax op on
+    a multi-host TPU slice (or multi-slice over DCN). Thin wrapper over
+    `jax.distributed.initialize`, which auto-detects TPU pod environments
+    when called with no arguments. After this, `jax.devices()` spans the
+    whole slice and `make_mesh` builds a global mesh whose "data" axis
+    collectives ride ICI within a slice and DCN across slices."""
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,

@@ -24,32 +24,56 @@ def checkpoint_exists(path) -> bool:
     return os.path.isdir(_abs(path))
 
 
-def save_checkpoint(path, state, key, iteration) -> None:
-    """Save {train state, PRNG key, iteration} (reference: NN.py:13-22)."""
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(
-            _abs(path),
-            dict(
-                state=jax.device_get(state),
-                key=jax.device_get(jax.random.key_data(key)),
-                iteration=int(iteration),
-            ),
-            force=True,
-        )
+# shared async-capable checkpointer: saves return after the device->host
+# copy and commit in the background, overlapping with continued training
+# (SURVEY.md §5's orbax-async equivalent of the reference's torch.save)
+_ASYNC_CKPTR = None
+
+
+def _async_checkpointer():
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.StandardCheckpointer()
+    return _ASYNC_CKPTR
+
+
+def save_checkpoint(path, state, key, iteration, block=True) -> None:
+    """Save {train state, PRNG key, iteration} (reference: NN.py:13-22).
+
+    block=False schedules the save asynchronously (orbax background commit);
+    call wait_for_checkpoints() before reading it back or exiting."""
+    ckptr = _async_checkpointer()
+    ckptr.save(
+        _abs(path),
+        dict(
+            state=jax.device_get(state),
+            key=jax.device_get(jax.random.key_data(key)),
+            iteration=int(iteration),
+        ),
+        force=True,
+    )
+    if block:
+        ckptr.wait_until_finished()
+
+
+def wait_for_checkpoints() -> None:
+    """Block until all scheduled async saves are committed."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
 
 
 def load_checkpoint(path, state_template, key_template) -> Tuple:
     """Restore to the template's structure; returns (state, key, iteration)
     (reference: NN.py:24-42)."""
-    with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(
-            _abs(path),
-            dict(
-                state=state_template,
-                key=jax.random.key_data(key_template),
-                iteration=0,
-            ),
-        )
+    wait_for_checkpoints()
+    restored = _async_checkpointer().restore(
+        _abs(path),
+        dict(
+            state=state_template,
+            key=jax.random.key_data(key_template),
+            iteration=0,
+        ),
+    )
     key = jax.random.wrap_key_data(restored["key"])
     return restored["state"], key, int(restored["iteration"])
 

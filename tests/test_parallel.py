@@ -99,3 +99,29 @@ def test_parallel_sample_runs_and_is_finite(rng):
     assert bool(jnp.isfinite(out).all())
     # actually sharded over the data axis
     assert len(out.sharding.device_set) == 8
+
+
+def test_parallel_train_chunk_matches_single_device(rng):
+    """The DP fused chunk must produce the same params as the single-host
+    fused chunk (same keys, same on-device sampling schedule)."""
+    from sdeflow_tpu.training.train import make_train_chunk
+    from sdeflow_tpu.parallel import make_parallel_train_chunk
+    from sdeflow_tpu.data import SwissRoll
+
+    state, opt, x = _mk_state(rng)
+    sampler = SwissRoll()
+    key = jax.random.fold_in(rng, 5)
+
+    single = make_train_chunk(opt, sampler.sample, 64)
+    s1, loss1 = single(state, key, 20)
+
+    mesh = make_mesh()
+    par = make_parallel_train_chunk(opt, sampler.sample, 64, mesh)
+    s2, loss2 = par(replicate(state, mesh), replicate(key, mesh), 20)
+
+    assert np.allclose(float(loss1), float(loss2), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.gen_sde.a_params),
+        jax.tree_util.tree_leaves(s2.gen_sde.a_params),
+    ):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -166,3 +166,26 @@ def test_unet1d_sgm_trains_on_signal(rng):
     )
     assert xgen.shape == (64, d)
     assert bool(jnp.isfinite(xgen).all())
+
+
+def test_async_checkpoint_save(rng, tmp_path):
+    """Non-blocking saves commit in the background and read back intact
+    after wait_for_checkpoints."""
+    from sdeflow_tpu.training.checkpoint import wait_for_checkpoints
+
+    sampler = SwissRoll()
+    gen = _mk_sgm_gen(rng, sampler)
+    trainer = Trainer(gen, sampler, batch_size=32, print_every=10_000)
+    state, _ = trainer.run(jax.random.fold_in(rng, 1), 3)
+
+    path = os.path.join(str(tmp_path), "async_ckpt")
+    key = jax.random.fold_in(rng, 9)
+    save_checkpoint(path, state, key, 2, block=False)
+    wait_for_checkpoints()
+    restored, key2, it = load_checkpoint(path, state, key)
+    assert it == 2
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.gen_sde.a_params),
+        jax.tree_util.tree_leaves(restored.gen_sde.a_params),
+    ):
+        assert jnp.array_equal(a, b)
