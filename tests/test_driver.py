@@ -102,3 +102,42 @@ def test_lowrank_block_rotation_norm_invariant():
     y1, y2, y3, y4 = simulate_block_rotation(N=500, kill_dim34=True)
     assert np.allclose(np.sqrt(y1**2 + y2**2), 2.0, atol=1e-6)
     assert np.allclose(y3, 0.0) and np.allclose(y4, 0.0)
+
+
+def test_driver_piv_fixture_sweep(rng, tmp_path, monkeypatch):
+    """Driver end to end on a file-backed, NORMALIZED dataset (PIV small):
+    exercises the get_std/std_norm branch, few_data split, and both arms."""
+    import numpy as np
+    from dataclasses import replace
+    from sdeflow_tpu.data import set_data_root, get_data_root
+
+    monkeypatch.chdir(tmp_path)
+    root = tmp_path / "MSGM-data"
+    folder = root / "newPIV2"
+    os.makedirs(folder)
+    rs = np.random.RandomState(0)
+    for i in range(80):
+        np.save(folder / f"Serie_{i:03d}_vortdiv.npy",
+                rs.randn(32).astype(np.float64))
+    prev = get_data_root()
+    set_data_root(str(root))
+    try:
+        cfg = get_preset("piv_small_dbg")
+        cfg = replace(
+            cfg,
+            sweep=replace(cfg.sweep, eval_mmd=True, num_samples=32,
+                          iterationss=(8,), num_stepss_backward=(4,),
+                          ntrain_maxs=(32,)),
+            results_dir=str(tmp_path / "results"),
+        )
+        driver = ExperimentDriver(cfg, log_fn=lambda *_: None,
+                                  make_plots=False)
+        results = driver.run(jax.random.PRNGKey(0))
+        assert results["mmd_sgm"][0, 0, 0, 0, 0] > 0
+        assert results["mmd_msgm"][0, 0, 0, 0, 0] > 0
+        # SGM arm runs normalized (name ..._norm), MSGM arm unnormalized
+        piv_files = os.listdir(tmp_path / "results" / "PIV16loc32pts_norm")
+        assert any(f.endswith("_traj.npy") for f in piv_files)
+        assert os.path.isdir(tmp_path / "results" / "PIV16loc32pts")
+    finally:
+        set_data_root(prev)
