@@ -370,6 +370,18 @@ class ExperimentDriver:
                 state, key_train, iterations - 1,
             )
 
+        # theoretical pdf overlay for uncorrelated gaussian/cauchy
+        # (reference MSGM_higherDim.py:522-558: plot_ref_pdf + pdf_theor)
+        pdf_theor, plot_ref_pdf = None, pc.plot_ref_pdf
+        if not dc.correlation:
+            if dc.datatype == "gaussian":
+                pdf_theor = lambda xx: np.exp(-0.5 * xx**2) / np.sqrt(2 * np.pi)
+                plot_ref_pdf = True
+            elif dc.datatype == "cauchy":
+                scale = 1.0 / 50
+                pdf_theor = lambda xx: scale / (np.pi * (xx**2 + scale**2))
+                plot_ref_pdf = True
+
         # reverse-sampling sweep (reference MSGM_higherDim.py:852-916)
         x_train_for_mmd = sampler.sample(
             jax.random.fold_in(key_sample, 777), sw.num_samples
@@ -412,7 +424,7 @@ class ExperimentDriver:
                         offset_dimplot=pc.offset_dimplot,
                         crop_data_plot=pc.crop_data_plot,
                         plot_crop=pc.plot_crop, plot_xlim=pc.plot_xlim,
-                        plot_ref_pdf=pc.plot_ref_pdf, pdf_theor=None,
+                        plot_ref_pdf=plot_ref_pdf, pdf_theor=pdf_theor,
                         log_scale_pdf=pc.log_scale_pdf,
                         columns_plot=columns_plot,
                         scatter_plots=pc.scatter_plots and self.make_plots,
