@@ -191,9 +191,7 @@ class ExperimentDriver:
         tc, sw, dc, pc = cfg.train, cfg.sweep, cfg.data, cfg.plots
         key = key if key is not None else jax.random.PRNGKey(cfg.seed)
 
-        complexitys = (
-            list(sw.Res) if dc.datatype == "pod" else list(sw.ntrain_maxs)
-        )
+        complexitys = self._complexitys()
         dims = list(dc.dims)
         shape = (len(dims), len(complexitys), len(sw.num_stepss_backward),
                  len(sw.iterationss), sw.nruns_mmd)
@@ -334,7 +332,7 @@ class ExperimentDriver:
             xs_forward = integrate_sde(
                 flow, xtest, key_fwd, tc.num_steps_forward, method="rk4",
                 keep_all=True, include_t0=True,
-                norm_correction=bool(is_msgm),
+                norm_correction=bool(gen.base_sde.norm_correction),
             )
             preprocessing(
                 xtest, xs_forward, tc.num_steps_forward, name_root,
@@ -412,7 +410,7 @@ class ExperimentDriver:
                     xs = integrate_sde(
                         gen, x0, k_solve, num_steps_backward, method="rk4",
                         keep_all=True, include_t0=sw.include_t0_reverse,
-                        norm_correction=bool(is_msgm),
+                        norm_correction=bool(gen.base_sde.norm_correction),
                     )
                     if pc.save_results:
                         np.save(name_simu + "_traj.npy", np.asarray(xs))
@@ -448,21 +446,30 @@ class ExperimentDriver:
                         else:
                             mmd_sgm[idx] = out["mmd"]
 
+    def _mmd_path(self, folder, arm):
+        """Single source of truth for the MMD result-tensor filenames
+        (reference: MSGM_higherDim.py:924-936)."""
+        return os.path.join(
+            folder, f"globalMMDfile_{arm}_{self.cfg.sweep.nruns_mmd}runs.npy"
+        )
+
+    def _complexitys(self):
+        """The sweep's complexity axis: Reynolds numbers for POD, train-set
+        sizes otherwise (reference: MSGM_higherDim.py:449-452)."""
+        sw, dc = self.cfg.sweep, self.cfg.data
+        return list(sw.Res) if dc.datatype == "pod" else list(sw.ntrain_maxs)
+
     def load_mmd_and_plot(self, folder=None):
         """Reload previously saved MMD result tensors and regenerate the
         convergence plots without re-running the sweep (the reference's
         justLoadmmmd mode, MSGM_higherDim.py:920-930)."""
         folder = folder or self.cfg.results_dir
-        sw, dc = self.cfg.sweep, self.cfg.data
-        tag = f"_{sw.nruns_mmd}runs"
         self.results = dict(
-            mmd_sgm=np.load(os.path.join(folder, f"globalMMDfile_SGM{tag}.npy")),
-            mmd_msgm=np.load(os.path.join(folder, f"globalMMDfile_MSGM{tag}.npy")),
-            mmd_ref=np.load(os.path.join(folder, f"globalMMDfile_ref{tag}.npy")),
-            dims=list(dc.dims),
-            complexitys=(
-                list(sw.Res) if dc.datatype == "pod" else list(sw.ntrain_maxs)
-            ),
+            mmd_sgm=np.load(self._mmd_path(folder, "SGM")),
+            mmd_msgm=np.load(self._mmd_path(folder, "MSGM")),
+            mmd_ref=np.load(self._mmd_path(folder, "ref")),
+            dims=list(self.cfg.data.dims),
+            complexitys=self._complexitys(),
         )
         if self.make_plots:
             self._convergence_plots(folder)
@@ -471,14 +478,9 @@ class ExperimentDriver:
     # -- results persistence + convergence plots -------------------------------
     def _save_mmd_arrays(self, folder):
         """(reference: MSGM_higherDim.py:931-936)"""
-        sw = self.cfg.sweep
-        tag = f"_{sw.nruns_mmd}runs"
-        np.save(os.path.join(folder, f"globalMMDfile_SGM{tag}.npy"),
-                self.results["mmd_sgm"])
-        np.save(os.path.join(folder, f"globalMMDfile_MSGM{tag}.npy"),
-                self.results["mmd_msgm"])
-        np.save(os.path.join(folder, f"globalMMDfile_ref{tag}.npy"),
-                self.results["mmd_ref"])
+        np.save(self._mmd_path(folder, "SGM"), self.results["mmd_sgm"])
+        np.save(self._mmd_path(folder, "MSGM"), self.results["mmd_msgm"])
+        np.save(self._mmd_path(folder, "ref"), self.results["mmd_ref"])
 
     def _convergence_plots(self, folder):
         """√MMD convergence plots vs backward steps / iterations / dimension /

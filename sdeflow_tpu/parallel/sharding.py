@@ -71,44 +71,20 @@ def make_parallel_train_step(optimizer, mesh: Mesh, loss="ssm"):
 
 def make_parallel_train_chunk(optimizer, sample_fn, batch_size, mesh: Mesh,
                               loss="ssm"):
-    """Fused multi-step trainer × data parallelism: one jitted lax.scan runs
-    N full SSM/DSM+Adam steps with the per-step batch sampled on device and
-    sharded over the mesh's "data" axis (XLA inserts the grad psum). The
-    single-host fused trainer is training.make_train_chunk; this is its
-    mesh-sharded form."""
-
-    def loss_fn(params, gen_sde, key, x):
-        gen = gen_sde.replace(a_params=params)
-        per_sample = gen.ssm(key, x) if loss == "ssm" else gen.dsm(key, x)
-        return per_sample.mean()
+    """Fused multi-step trainer x data parallelism: training.make_train_chunk
+    with the per-step on-device batch constrained to the mesh's "data" axis
+    (XLA inserts the grad psum). One scan body definition — the trainer
+    logic lives only in training/train.py."""
+    from sdeflow_tpu.training.train import make_train_chunk
 
     batch_sharded = NamedSharding(mesh, P("data"))
 
-    @partial(jax.jit, static_argnums=(2,))
-    def chunk(state: TrainState, key, num_steps: int):
-        def body(st, i):
-            k = jax.random.fold_in(key, i)
-            k_data, k_loss = jax.random.split(k)
-            x = sample_fn(k_data, batch_size)
-            x = jax.lax.with_sharding_constraint(x, batch_sharded)
-            value, grads = jax.value_and_grad(loss_fn)(
-                st.gen_sde.a_params, st.gen_sde, k_loss, x
-            )
-            updates, opt_state = optimizer.update(
-                grads, st.opt_state, st.gen_sde.a_params
-            )
-            params = optax.apply_updates(st.gen_sde.a_params, updates)
-            st = TrainState(
-                gen_sde=st.gen_sde.replace(a_params=params),
-                opt_state=opt_state,
-                step=st.step + 1,
-            )
-            return st, value
+    def sharded_sample(key, n):
+        return jax.lax.with_sharding_constraint(
+            sample_fn(key, n), batch_sharded
+        )
 
-        state, losses = jax.lax.scan(body, state, jnp.arange(num_steps))
-        return state, losses[-1]
-
-    return chunk
+    return make_train_chunk(optimizer, sharded_sample, batch_size, loss=loss)
 
 
 def shard_mlp_params(variables, mesh: Mesh):

@@ -51,6 +51,11 @@ class SDEBehavior:
     noise/score vector w — never materialized as a (B,d,d) tensor).
     """
 
+    # Opt-in exact norm projection of the TRAINING-TIME forward perturbation
+    # (see MSGMSde for semantics); declared here so every SDE has the knob
+    # and the forward-sampling paths below can read it directly.
+    project_training_norms: bool = False
+
     # -- schedule ----------------------------------------------------------
     def beta(self, t):
         return beta_linear(t, self.beta_min, self.beta_max)
@@ -100,7 +105,7 @@ class SDEBehavior:
         # generation/diagnostic time, MSGM_higherDim.py:785, 906). The
         # project_training_norms flag opts into projecting here as well — a
         # measured quality improvement over the reference (PARITY.md).
-        project = getattr(self, "project_training_norms", False)
+        project = self.project_training_norms
         y_sel = integrate_select(
             flow,
             y0,
@@ -147,7 +152,7 @@ class SDEBehavior:
             method="rk4",
             keep_all=True,
             include_t0=include_t0,
-            norm_correction=getattr(self, "project_training_norms", False),
+            norm_correction=self.project_training_norms,
         )
 
     def sample_debiasing_t(self, key, shape):

@@ -50,7 +50,11 @@ def export_sampler(gen_sde, path, num_samples, dim, num_steps, *,
         gen_sde, num_samples, dim, num_steps, method=method, lmbd=lmbd,
         norm_correction=norm_correction,
     )
-    key_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    # derive the raw-key layout from the configured PRNG implementation
+    # (threefry: (2,) uint32; rbg/unsafe_rbg: (4,) uint32) so the artifact's
+    # input contract matches the host that exports it
+    probe = jax.random.key_data(jax.random.PRNGKey(0))
+    key_spec = jax.ShapeDtypeStruct(probe.shape, probe.dtype)
 
     def fn_from_raw(raw_key):
         return fn(jax.random.wrap_key_data(raw_key))
@@ -67,6 +71,8 @@ def export_sampler(gen_sde, path, num_samples, dim, num_steps, *,
         num_samples=num_samples, dim=dim, num_steps=num_steps, method=method,
         lmbd=lmbd, norm_correction=norm_correction,
         platforms=list(exported.platforms),
+        key_shape=list(probe.shape), key_dtype=str(probe.dtype),
+        prng_impl=str(jax.config.jax_default_prng_impl),
     )
     with open(path + ".json", "w") as f:
         json.dump(meta, f, indent=2)
@@ -92,4 +98,12 @@ class Sampler:
         self._call = jax.jit(self._exported.call)
 
     def __call__(self, key):
-        return self._call(jax.random.key_data(key).astype(jnp.uint32))
+        raw = jax.random.key_data(key)
+        if self.meta and list(raw.shape) != self.meta.get("key_shape", list(raw.shape)):
+            raise ValueError(
+                f"artifact expects key_data shape {self.meta['key_shape']} "
+                f"(prng_impl={self.meta.get('prng_impl')}); this host's key "
+                f"has shape {list(raw.shape)} — set jax_default_prng_impl to "
+                "match the exporting host"
+            )
+        return self._call(raw.astype(jnp.uint32))

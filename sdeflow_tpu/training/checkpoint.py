@@ -21,6 +21,7 @@ def _abs(path):
 
 
 def checkpoint_exists(path) -> bool:
+    wait_for_checkpoints()  # settle any in-flight async commit first
     return os.path.isdir(_abs(path))
 
 
@@ -80,8 +81,9 @@ def load_checkpoint(path, state_template, key_template) -> Tuple:
 
 def delete_checkpoint(path) -> None:
     """Remove a rolling checkpoint after a fully successful run
-    (reference: MSGM_higherDim.py:842-847)."""
+    (reference: MSGM_higherDim.py:842-847). Waits for in-flight async saves
+    so a background commit can't resurrect the directory after removal."""
     import shutil
 
-    if checkpoint_exists(path):
+    if checkpoint_exists(path):  # waits for pending async commits
         shutil.rmtree(_abs(path))
