@@ -3,12 +3,14 @@
 The reference's QKVAttention (model/unet.py:231-250) is three separate ops
 (two einsums + a softmax) with HBM round-trips between them in eager torch.
 Here the whole attention core — per-head √√c-scaled score matmul, fp32
-softmax, value matmul — runs as ONE Pallas kernel per batch element, with
-q/k/v and the (T, T) score tile resident in VMEM and both matmuls on the
-MXU. Sequence lengths in this framework are small (T = H·W ≤ 1024 for the
-32×32 images), so the un-tiled single-block form is the right shape: no
-online-softmax machinery needed, but the kernel is still the building block
-a flash-style tiling would extend.
+softmax, value matmul — runs as ONE Pallas program with two shapes:
+
+- short sequences (T = H·W ≤ 1024, every reference config): batch-tiled
+  single-block kernel, the (T, T) score tile resident in VMEM, both
+  matmuls on the MXU;
+- long sequences (T > 1024): flash-style tiling — per (batch, q-tile) grid
+  step an online softmax streams KV tiles, so the (T, T) scores are never
+  materialized (at T = 4096 they would be 64 MB, 4× VMEM).
 
 Autodiff dispatches to the identical jnp math (see ops/pallas/common.py).
 """
@@ -70,6 +72,82 @@ def _attn_kernel(qkv_ref, o_ref, *, num_heads):
 
 _BATCH_BLOCK = 16
 
+# flash tiling kicks in when the (T, T) score tile would pressure VMEM
+_FLASH_SEQ_THRESHOLD = 1024
+_FLASH_KV_BLOCK = 512
+
+
+def _flash_kernel(qkv_ref, o_ref, *, num_heads, kv_block):
+    """Flash-style tiled attention for long sequences: per (batch, q-tile)
+    grid step, stream KV tiles with an online softmax (running max m,
+    normalizer l, accumulator acc) so the (T, T) score matrix is never
+    materialized — only (TQ, TK) tiles live in registers/VMEM. Same math as
+    `_attention_math` (√√c scaling on q and k, fp32 softmax accumulate)."""
+    qkv = qkv_ref[0]  # (T, 3C) — full sequence for this batch element
+    t, c3 = qkv.shape
+    c = c3 // 3
+    ch = c // num_heads
+    scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(ch, jnp.float32)))
+    tq = o_ref.shape[1]  # the q tile spans this grid step's output rows
+    qi = pl.program_id(1)
+    num_kv = t // kv_block
+
+    for h in range(num_heads):
+        base = h * 3 * ch
+        q = jax.lax.dynamic_slice(
+            qkv, (qi * tq, base), (tq, ch)
+        ) * scale  # (TQ, ch)
+
+        def body(ki, carry):
+            m, l, acc = carry
+            k = jax.lax.dynamic_slice(
+                qkv, (ki * kv_block, base + ch), (kv_block, ch)
+            ) * scale
+            v = jax.lax.dynamic_slice(
+                qkv, (ki * kv_block, base + 2 * ch), (kv_block, ch)
+            )
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (TQ, TK)
+            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            corr = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l * corr + jnp.sum(p, axis=1, keepdims=True)
+            acc_new = acc * corr + jnp.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
+            return m_new, l_new, acc_new
+
+        m0 = jnp.full((tq, 1), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((tq, 1), jnp.float32)
+        acc0 = jnp.zeros((tq, ch), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
+        o_ref[0, :, h * ch : (h + 1) * ch] = (acc / l).astype(o_ref.dtype)
+
+
+def _attention_flash(qkv, num_heads):
+    b, t, c3 = qkv.shape
+    c = c3 // 3
+    kv_block = min(_FLASH_KV_BLOCK, t)
+    tq = min(_FLASH_KV_BLOCK, t)
+    assert t % kv_block == 0 and t % tq == 0, (
+        "flash path requires the sequence length to be a multiple of the "
+        f"tile size {kv_block}"
+    )
+    return pl.pallas_call(
+        partial(_flash_kernel, num_heads=num_heads, kv_block=kv_block),
+        grid=(b, t // tq),
+        in_specs=[
+            pl.BlockSpec((1, t, c3), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((1, tq, c), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t, c), qkv.dtype),
+        interpret=interpret_mode(),
+    )(qkv)
+
 
 def _attention_pallas(qkv, num_heads):
     b, t, c3 = qkv.shape
@@ -91,8 +169,15 @@ def _attention_pallas(qkv, num_heads):
 
 @partial(jax.custom_jvp, nondiff_argnums=(1,))
 def qkv_attention(qkv, num_heads=1):
-    """Fused attention: qkv (B, T, 3C) -> (B, T, C)."""
+    """Fused attention: qkv (B, T, 3C) -> (B, T, C).
+
+    Short sequences use the single-block kernel; sequences past
+    _FLASH_SEQ_THRESHOLD take the flash-tiled kernel (online softmax over
+    KV tiles), which never materializes the (T, T) scores."""
     if nn_kernels_enabled():
+        t = qkv.shape[1]
+        if t > _FLASH_SEQ_THRESHOLD and t % _FLASH_KV_BLOCK == 0:
+            return _attention_flash(qkv, num_heads)
         return _attention_pallas(qkv, num_heads)
     return _attention_math(qkv, num_heads)
 

@@ -103,3 +103,20 @@ def test_unet_with_kernels_still_trains(rng):
     assert all(
         bool(jnp.isfinite(l).all()) for l in jax.tree_util.tree_leaves(grads)
     )
+
+
+def test_flash_attention_matches_math(rng):
+    """The flash-tiled long-sequence path (online softmax over KV tiles)
+    must agree with the reference math; exercised at T=2048 where the
+    single-block (T, T) scores would be 16 MB."""
+    from sdeflow_tpu.ops.pallas.attention import _attention_flash
+
+    qkv = jax.random.normal(rng, (2, 2048, 3 * 16)) * 2.0
+    ref = _attention_math(qkv, num_heads=2)
+    with force_interpret():
+        out = _attention_flash(qkv, 2)
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+    # dispatcher routes long sequences to the flash path
+    with force_interpret():
+        out2 = qkv_attention(qkv, 2)
+    assert np.allclose(np.asarray(out2), np.asarray(ref), atol=2e-4)
