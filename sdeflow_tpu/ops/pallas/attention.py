@@ -83,8 +83,7 @@ def _flash_kernel(qkv_ref, o_ref, *, num_heads, kv_block):
     normalizer l, accumulator acc) so the (T, T) score matrix is never
     materialized — only (TQ, TK) tiles live in registers/VMEM. Same math as
     `_attention_math` (√√c scaling on q and k, fp32 softmax accumulate)."""
-    qkv = qkv_ref[0]  # (T, 3C) — full sequence for this batch element
-    t, c3 = qkv.shape
+    t, c3 = qkv_ref.shape[1], qkv_ref.shape[2]
     c = c3 // 3
     ch = c // num_heads
     scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(ch, jnp.float32)))
@@ -94,18 +93,19 @@ def _flash_kernel(qkv_ref, o_ref, *, num_heads, kv_block):
 
     for h in range(num_heads):
         base = h * 3 * ch
-        q = jax.lax.dynamic_slice(
-            qkv, (qi * tq, base), (tq, ch)
-        ) * scale  # (TQ, ch)
+        # dynamic tile reads go through the ref (Mosaic lowers pl.ds ref
+        # indexing; dynamic_slice on loaded values is unsupported)
+        q = qkv_ref[0, pl.ds(qi * tq, tq), base : base + ch] * scale
 
         def body(ki, carry):
             m, l, acc = carry
-            k = jax.lax.dynamic_slice(
-                qkv, (ki * kv_block, base + ch), (kv_block, ch)
-            ) * scale
-            v = jax.lax.dynamic_slice(
-                qkv, (ki * kv_block, base + 2 * ch), (kv_block, ch)
-            )
+            k = qkv_ref[
+                0, pl.ds(ki * kv_block, kv_block), base + ch : base + 2 * ch
+            ] * scale
+            v = qkv_ref[
+                0, pl.ds(ki * kv_block, kv_block),
+                base + 2 * ch : base + 3 * ch,
+            ]
             s = jax.lax.dot_general(
                 q, k, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
