@@ -26,6 +26,9 @@ REPEATS = 5
 
 
 def main():
+    from sdeflow_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # repeated runs skip the remote compile
     from sdeflow_tpu.models import MLP
     from sdeflow_tpu.sde import SGMSde, PluginReverseSDE
     from sdeflow_tpu.ops.integrators import integrate_sde

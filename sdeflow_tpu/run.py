@@ -56,6 +56,10 @@ def main(argv=None):
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    from sdeflow_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from sdeflow_tpu.configs import get_preset
     from sdeflow_tpu.experiments.driver import ExperimentDriver
 

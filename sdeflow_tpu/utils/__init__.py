@@ -1,3 +1,4 @@
+from sdeflow_tpu.utils.cache import enable_compilation_cache
 from sdeflow_tpu.utils.profiling import (
     trace,
     Timer,
@@ -6,4 +7,5 @@ from sdeflow_tpu.utils.profiling import (
     param_count,
 )
 
-__all__ = ["trace", "Timer", "benchmark", "attention_flops", "param_count"]
+__all__ = ["enable_compilation_cache", "trace", "Timer", "benchmark",
+           "attention_flops", "param_count"]

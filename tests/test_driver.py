@@ -141,3 +141,28 @@ def test_driver_piv_fixture_sweep(rng, tmp_path, monkeypatch):
         assert os.path.isdir(tmp_path / "results" / "PIV16loc32pts")
     finally:
         set_data_root(prev)
+
+
+def test_driver_ssm_intT_arm(rng, tmp_path, monkeypatch):
+    """ssm_intT mode through the full driver: the MSGM arm trains on the
+    gridded-time loss with the fair RAM rule (batch / num_steps_forward)
+    and the fused trainer."""
+    monkeypatch.chdir(tmp_path)
+    from dataclasses import replace
+
+    cfg = get_preset("swissroll_dbg")
+    cfg = replace(
+        cfg,
+        sweep=replace(cfg.sweep, eval_mmd=True, num_samples=32,
+                      iterationss=(8,), num_stepss_backward=(4,),
+                      ntrain_maxs=(np.inf,), batch_sizes=(20,),
+                      ssm_intT_ref=True, msgms=(1,)),
+        results_dir=str(tmp_path / "results"),
+    )
+    logs = []
+    driver = ExperimentDriver(cfg, log_fn=logs.append, make_plots=False)
+    results = driver.run(jax.random.PRNGKey(0))
+    assert results["mmd_msgm"][0, 0, 0, 0, 0] > 0
+    # fair RAM rule applied: batch 20 / 10 forward steps = 2
+    assert any("batch_size = 2" in l for l in logs)
+    assert any("ssm_intT = True" in l for l in logs)
