@@ -67,6 +67,9 @@ class SweepConfig:
     num_samples: int = 10_000
     include_t0_reverse: bool = True
     Res: Tuple[int, ...] = (300, 3900)  # POD Reynolds numbers
+    # generation integrator: "rk4" (the reference's choice,
+    # MSGM_higherDim.py:903) | "heun" | "em"
+    backward_method: str = "rk4"
 
 
 @dataclass(frozen=True)

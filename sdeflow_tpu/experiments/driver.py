@@ -408,7 +408,8 @@ class ExperimentDriver:
                     k_lat, k_solve = jax.random.split(k_run)
                     x0 = gen.latent_sample(k_lat, sw.num_samples, dim)
                     xs = integrate_sde(
-                        gen, x0, k_solve, num_steps_backward, method="rk4",
+                        gen, x0, k_solve, num_steps_backward,
+                        method=sw.backward_method,
                         keep_all=True, include_t0=sw.include_t0_reverse,
                         norm_correction=bool(gen.base_sde.norm_correction),
                     )

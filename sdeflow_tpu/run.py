@@ -21,6 +21,8 @@ def build_parser():
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--num-samples", type=int, default=None)
     p.add_argument("--steps-backward", type=int, default=None)
+    p.add_argument("--backward-method", choices=["rk4", "heun", "em"],
+                   default=None, help="generation integrator (default rk4)")
     p.add_argument("--eval-mmd", action="store_true",
                    help="compute the MMD result tensors")
     p.add_argument("--no-plots", action="store_true")
@@ -78,6 +80,8 @@ def main(argv=None):
         sweep = replace(sweep, num_samples=args.num_samples)
     if args.steps_backward is not None:
         sweep = replace(sweep, num_stepss_backward=(args.steps_backward,))
+    if args.backward_method is not None:
+        sweep = replace(sweep, backward_method=args.backward_method)
     if args.eval_mmd:
         sweep = replace(sweep, eval_mmd=True)
     cfg = replace(cfg, sweep=sweep, results_dir=args.results_dir,
