@@ -35,6 +35,29 @@ from sdeflow_tpu.plotting.plots import (
 )
 
 
+from functools import partial
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_samples", "dim", "num_steps", "method", "include_t0",
+        "norm_correction",
+    ),
+)
+def _jit_generate(gen, key, num_samples, dim, num_steps, method, include_t0,
+                  norm_correction):
+    """One XLA program for the whole generation: latent draw + full reverse
+    solve with trajectory capture. Cached per static config across the
+    sweep's repeat runs."""
+    k_lat, k_solve = jax.random.split(key)
+    x0 = gen.latent_sample(k_lat, num_samples, dim)
+    return integrate_sde(
+        gen, x0, k_solve, num_steps, method=method, keep_all=True,
+        include_t0=include_t0, norm_correction=norm_correction,
+    )
+
+
 def make_sampler(cfg: ExperimentConfig, dim, key, complexity=None):
     """Dataset factory (reference: MSGM_higherDim.py:495-639)."""
     from sdeflow_tpu import data as D
@@ -405,13 +428,11 @@ class ExperimentDriver:
                 if just_load:
                     xs = np.load(name_simu + "_traj.npy")
                 else:
-                    k_lat, k_solve = jax.random.split(k_run)
-                    x0 = gen.latent_sample(k_lat, sw.num_samples, dim)
-                    xs = integrate_sde(
-                        gen, x0, k_solve, num_steps_backward,
-                        method=sw.backward_method,
-                        keep_all=True, include_t0=sw.include_t0_reverse,
-                        norm_correction=bool(gen.base_sde.norm_correction),
+                    xs = _jit_generate(
+                        gen, k_run, sw.num_samples, dim,
+                        num_steps_backward, sw.backward_method,
+                        sw.include_t0_reverse,
+                        bool(gen.base_sde.norm_correction),
                     )
                     if pc.save_results:
                         np.save(name_simu + "_traj.npy", np.asarray(xs))
