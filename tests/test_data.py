@@ -160,3 +160,66 @@ def test_era5_loader_deseason_winter(data_root, rng):
     assert x.shape == (16, 4)
     # NaN time dropped and columns centered (pre-winter-filter centering)
     assert bool(jnp.isfinite(x).all())
+
+
+def test_ncar_loader(data_root, rng):
+    folder = data_root / "isfs_m2hats_qc_geo_hr_202309"
+    os.makedirs(folder)
+    np.save(folder / "subsample_data.npy",
+            np.random.RandomState(0).randn(400, 100) * 3 + 1)
+    from sdeflow_tpu.data import NCARWeatherStation
+
+    s = NCARWeatherStation(dim=10)
+    x = s.sample(rng, 8)
+    assert x.shape == (8, 10)
+    # standardized columns
+    assert abs(float(jnp.mean(s.npdata))) < 0.2
+    assert abs(float(jnp.std(s.npdata)) - 1.0) < 0.2
+
+
+def test_weather_station_loader(data_root, rng):
+    """CR300 .dat parsing: header skip, NAN handling, timestamp windowing,
+    polar->cartesian wind conversion, cross-station timestamp intersection
+    (reference: data.py:421-500)."""
+    folder = data_root / "weather-data-2022-12-05-to-2023-02-27"
+    os.makedirs(folder)
+    rs = np.random.RandomState(0)
+
+    def write_station(name, n_extra):
+        lines = ['"h1"', '"h2"', '"h3"', '"h4"']  # 4 metadata lines
+        times = ['"2022-12-06 23:55:00"', '"2022-12-07 00:00:00"',
+                 '"2022-12-07 00:05:00"', '"2023-02-26 23:55:00"']
+        times = times[:2] + ['"2022-12-07 00:0%d:00"' % i for i in range(1, 3 + n_extra)] + times[3:]
+        for t in times:
+            rec = rs.rand()  # record number column
+            speed = rs.rand() * 10
+            direction = rs.rand() * 360
+            lines.append(f"{t},{rec:.2f},{speed:.3f},{direction:.2f}")
+        (folder / f"{name}.dat").write_text("\n".join(lines) + "\n")
+
+    for i in (14, 15):
+        write_station(f"CR300-{i}_Mesures_0{i}", n_extra=0)
+    for i in range(559, 572):
+        write_station(f"CR300-{i}_Mesures_{i}", n_extra=0)
+
+    from sdeflow_tpu.data import WeatherStation
+
+    s = WeatherStation(dim=8)
+    x = s.sample(rng, 4)
+    assert x.shape == (4, 8)
+    assert bool(jnp.isfinite(x).all())
+
+
+def test_eof_pressure_requires_netcdf(data_root):
+    """netCDF4 is an optional dependency (absent in this environment): the
+    loader must raise a clear ImportError, not a confusing crash."""
+    from sdeflow_tpu.data import EOFPressure
+
+    try:
+        import netCDF4  # noqa: F401
+
+        pytest.skip("netCDF4 present; gate not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="netCDF4"):
+        EOFPressure(dim=4)
