@@ -47,15 +47,17 @@ from functools import partial
 )
 def _jit_generate(gen, key, num_samples, dim, num_steps, method, include_t0,
                   norm_correction):
-    """One XLA program for the whole generation: latent draw + full reverse
-    solve with trajectory capture. Cached per static config across the
-    sweep's repeat runs."""
-    k_lat, k_solve = jax.random.split(key)
-    x0 = gen.latent_sample(k_lat, num_samples, dim)
-    return integrate_sde(
-        gen, x0, k_solve, num_steps, method=method, keep_all=True,
-        include_t0=include_t0, norm_correction=norm_correction,
+    """One XLA program for the whole generation (the serving module's
+    sampler program with trajectory capture), cached per static config
+    across the sweep's repeat runs."""
+    from sdeflow_tpu.serving import make_sampler_fn
+
+    fn = make_sampler_fn(
+        gen, num_samples, dim, num_steps, method=method,
+        norm_correction=norm_correction, keep_all=True,
+        include_t0=include_t0,
     )
+    return fn(key)
 
 
 def make_sampler(cfg: ExperimentConfig, dim, key, complexity=None):
@@ -419,6 +421,7 @@ class ExperimentDriver:
                 name_simu = simulation_name(
                     folder_results, name_root, tc.t_eps,
                     num_steps_backward, sw.include_t0_reverse, i_run,
+                    method=sw.backward_method,
                 )
                 if i_run > 0:
                     os.makedirs(os.path.join("runs", sampler.name),

@@ -50,13 +50,18 @@ def run_name_root(
 
 
 def simulation_name(
-    folder, name_root, t_eps, num_steps_backward, include_t0_reverse, i_run=0
+    folder, name_root, t_eps, num_steps_backward, include_t0_reverse, i_run=0,
+    method="rk4",
 ):
-    """Per-sampling-run name (reference: MSGM_higherDim.py:877-892)."""
+    """Per-sampling-run name (reference: MSGM_higherDim.py:877-892; the
+    integrator tag is new — the reference hardcodes RK4 — so rk4 names stay
+    byte-identical and other methods can't overwrite rk4 results)."""
     name = (
         f"{name_root}{t_eps}t_eps{num_steps_backward}stepsBack_"
         f"{include_t0_reverse}t0infer"
     )
+    if method != "rk4":
+        name += f"_{method}"
     if i_run > 0:
         return f"runs/{name}_run{i_run}"
     return f"{folder}/{name}"

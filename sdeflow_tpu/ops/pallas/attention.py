@@ -135,10 +135,11 @@ def _attention_flash(qkv, num_heads):
     c = c3 // 3
     kv_block = min(_FLASH_KV_BLOCK, t)
     tq = min(_FLASH_KV_BLOCK, t)
-    assert t % kv_block == 0 and t % tq == 0, (
-        "flash path requires the sequence length to be a multiple of the "
-        f"tile size {kv_block}"
-    )
+    if t % kv_block != 0 or t % tq != 0:
+        raise ValueError(
+            "flash attention requires the sequence length to be a multiple "
+            f"of the tile size {kv_block}; got T={t}"
+        )
     return pl.pallas_call(
         partial(_flash_kernel, num_heads=num_heads, kv_block=kv_block),
         grid=(b, t // tq),

@@ -23,9 +23,12 @@ from sdeflow_tpu.ops.integrators import integrate_sde
 
 
 def make_sampler_fn(gen_sde, num_samples, dim, num_steps, *, method="rk4",
-                    lmbd=0.0, norm_correction=False, keep_all=False):
+                    lmbd=0.0, norm_correction=False, keep_all=False,
+                    include_t0=False):
     """Close the generative program over a trained PluginReverseSDE:
-    key -> (num_samples, dim) samples (or the full trajectory)."""
+    key -> (num_samples, dim) samples (or the full trajectory). This is THE
+    generation program — the experiment driver jits it and the serving
+    exporter stages it, so both always run identical code."""
 
     def sample(key):
         k_lat, k_solve = jax.random.split(key)
@@ -33,6 +36,7 @@ def make_sampler_fn(gen_sde, num_samples, dim, num_steps, *, method="rk4",
         return integrate_sde(
             gen_sde, x0, k_solve, num_steps, method=method, lmbd=lmbd,
             norm_correction=norm_correction, keep_all=keep_all,
+            include_t0=include_t0,
         )
 
     return sample

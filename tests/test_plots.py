@@ -1,8 +1,6 @@
 """Plot suite smoke tests: every figure family renders to files without a
 display (Agg), with the same call patterns the driver uses."""
 
-import os
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -11,7 +9,6 @@ import pytest
 from sdeflow_tpu.plotting.plots import (
     get_2d_histogram_plot,
     plot_selected_inds,
-    def_pd,
     pairplots,
     pairplots_single,
     preprocessing,
