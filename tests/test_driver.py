@@ -166,3 +166,11 @@ def test_driver_ssm_intT_arm(rng, tmp_path, monkeypatch):
     # fair RAM rule applied: batch 20 / 10 forward steps = 2
     assert any("batch_size = 2" in l for l in logs)
     assert any("ssm_intT = True" in l for l in logs)
+
+
+def test_simulation_name_tags_nondefault_method():
+    base = simulation_name("results", "swiss/SGM_", 1e-3, 128, True)
+    em = simulation_name("results", "swiss/SGM_", 1e-3, 128, True, method="em")
+    rk4 = simulation_name("results", "swiss/SGM_", 1e-3, 128, True, method="rk4")
+    assert base == rk4  # rk4 names stay byte-identical to the reference's
+    assert em == base + "_em"

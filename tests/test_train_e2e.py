@@ -189,3 +189,11 @@ def test_async_checkpoint_save(rng, tmp_path):
         jax.tree_util.tree_leaves(restored.gen_sde.a_params),
     ):
         assert jnp.array_equal(a, b)
+
+
+def test_compilation_cache_skips_cpu():
+    """The persistent compile cache is TPU-only (CPU AOT artifacts are
+    host-feature-specific; cross-host reload risks SIGILL)."""
+    from sdeflow_tpu.utils import enable_compilation_cache
+
+    assert enable_compilation_cache() is None  # tests run on CPU
