@@ -1,4 +1,8 @@
-"""ELBO evaluation (reference: NN.py:123-128)."""
+"""ELBO evaluation (reference: NN.py:123-128).
+
+Single implementation of the jitted evaluation step; training's
+`make_eval_step` returns this same function.
+"""
 
 from __future__ import annotations
 
@@ -6,8 +10,13 @@ import jax
 import jax.numpy as jnp
 
 
+@jax.jit
 def evaluate(gen_sde, key, x_test):
-    """Mean ± stderr of the ELBO over a test batch."""
+    """Mean ± stderr of the ELBO over a test batch.
+
+    stderr is over the TEST BATCH size like the reference (NN.py:126-128),
+    not over the intT-expanded S'·B evaluation count.
+    """
     elbo = gen_sde.elbo_random_t_slice(key, x_test)
     n = x_test.shape[0]
     return elbo.mean(), elbo.std() / jnp.sqrt(jnp.asarray(n, elbo.dtype))

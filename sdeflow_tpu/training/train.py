@@ -133,18 +133,11 @@ def update_ema(target_params, source_params, rate=0.99):
 
 
 def make_eval_step():
-    """Jitted ELBO evaluation: (gen_sde, key, x_test) -> (mean, stderr)
-    (reference: NN.py:123-128)."""
+    """Jitted ELBO evaluation: (gen_sde, key, x_test) -> (mean, stderr).
+    Single implementation lives in eval.elbo (reference: NN.py:123-128)."""
+    from sdeflow_tpu.eval.elbo import evaluate
 
-    @jax.jit
-    def eval_step(gen_sde, key, x_test):
-        elbo = gen_sde.elbo_random_t_slice(key, x_test)
-        # stderr over the TEST BATCH size like the reference (NN.py:126-128),
-        # not over the intT-expanded S'·B evaluation count
-        n = x_test.shape[0]
-        return elbo.mean(), elbo.std() / jnp.sqrt(jnp.asarray(n, elbo.dtype))
-
-    return eval_step
+    return evaluate
 
 
 class Trainer:
@@ -209,10 +202,12 @@ class Trainer:
         steps_since_print = 0
         while i < iterations:
             if self.steps_per_dispatch > 1 and i > 0:
-                # fused multi-step dispatch, aligned to the print cadence
+                # fused multi-step dispatch, aligned to BOTH the print and
+                # tagged-save cadences so neither boundary is skipped over
                 boundary = min(
                     iterations,
                     ((i // self.print_every) + 1) * self.print_every,
+                    ((i // self.save_every) + 1) * self.save_every,
                 )
                 n = min(self.steps_per_dispatch, max(1, boundary - i))
                 key, key_chunk = jax.random.split(key)
@@ -226,7 +221,12 @@ class Trainer:
                 i += 1
                 steps_since_print += 1
 
-            if (i == 1) or (i % self.print_every == 0) or i >= iterations:
+            do_print = (i == 1) or (i % self.print_every == 0) or i >= iterations
+            # tagged saves fire on their own cadence, independent of
+            # print_every (the fused-chunk boundary above guarantees the
+            # loop surfaces exactly at each save_every multiple)
+            do_tag = i % self.save_every == 0
+            if do_print:
                 key, key_eval, key_xe = jax.random.split(key, 3)
                 x_eval = (
                     x_test
@@ -248,12 +248,13 @@ class Trainer:
                 self.history.append(
                     dict(step=i, loss=float(loss), elbo=float(elbo))
                 )
-                if self.checkpoint_path:
-                    save_checkpoint(self.checkpoint_path, self.state, key, i - 1)
-                    if i % self.save_every == 0:
-                        save_checkpoint(
-                            f"{self.checkpoint_path}_{i}", self.state, key, i - 1
-                        )
+            if self.checkpoint_path and (do_print or do_tag):
+                save_checkpoint(self.checkpoint_path, self.state, key, i - 1)
+                if do_tag:
+                    save_checkpoint(
+                        f"{self.checkpoint_path}_{i}", self.state, key, i - 1
+                    )
+            if do_print:
                 start_time = time.time()
                 steps_since_print = 0
         return self.state, float(loss) if loss is not None else None

@@ -124,6 +124,25 @@ def test_trainer_resume(rng, tmp_path):
     assert int(state.step) >= 5
 
 
+def test_tagged_save_independent_of_print_cadence(rng, tmp_path):
+    """Tagged checkpoints fire at save_every multiples even when print_every
+    does not divide them (single-step AND fused-chunk paths must both
+    surface at the step-5 boundary)."""
+    from sdeflow_tpu.training.checkpoint import checkpoint_exists
+
+    sampler = SwissRoll()
+    for tag, steps_per_dispatch in (("single", 1), ("chunk", 4)):
+        path = os.path.join(str(tmp_path), f"cad_{tag}")
+        gen = _mk_sgm_gen(rng, sampler, num_steps_forward=4)
+        tr = Trainer(
+            gen, sampler, batch_size=16, print_every=3, save_every=5,
+            checkpoint_path=path, steps_per_dispatch=steps_per_dispatch,
+        )
+        tr.run(jax.random.fold_in(rng, 1), 7)
+        assert checkpoint_exists(f"{path}_5"), f"{tag}: step-5 tagged save missing"
+        assert checkpoint_exists(path)
+
+
 def test_chunked_trainer_matches_semantics(rng):
     """steps_per_dispatch>1 must complete the same number of steps and learn
     (the fused lax.scan trainer; data sampled on device inside the scan)."""
