@@ -2,7 +2,11 @@ from sdeflow_tpu.parallel.mesh import make_mesh, shard_batch, replicate, init_di
 from sdeflow_tpu.parallel.sharding import (
     make_parallel_train_step,
     make_parallel_train_chunk,
+    shard_params,
     shard_mlp_params,
+    shard_unet_params,
+    MLP_TP_RULES,
+    UNET_TP_RULES,
     sharded_kernel_mean,
     sharded_mmd,
     parallel_sample,
@@ -15,7 +19,11 @@ __all__ = [
     "make_parallel_train_step",
     "make_parallel_train_chunk",
     "init_distributed",
+    "shard_params",
     "shard_mlp_params",
+    "shard_unet_params",
+    "MLP_TP_RULES",
+    "UNET_TP_RULES",
     "sharded_kernel_mean",
     "sharded_mmd",
     "parallel_sample",

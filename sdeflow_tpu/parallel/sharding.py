@@ -87,28 +87,99 @@ def make_parallel_train_chunk(optimizer, sample_fn, batch_size, mesh: Mesh,
     return make_train_chunk(optimizer, sharded_sample, batch_size, loss=loss)
 
 
-def shard_mlp_params(variables, mesh: Mesh):
-    """Tensor-parallel placement for the MLP score net in the Megatron
-    column→row pairing: dense0/dense2 kernels column-sharded P(None,"model")
-    (activations come out hidden-sharded, biases sharded to match), and
-    dense1/dense_out kernels row-sharded P("model",None) (local contraction
-    over the sharded hidden axis, then one psum; biases replicated). Each
-    hidden matmul then contracts locally with a single reduce instead of
-    all-gathering activations between layers."""
+def _col_spec(x):
+    """Column parallel: output (last) axis sharded over "model". Works for
+    Dense (in, out) kernels, conv (*k, in, out) kernels, and (out,) biases."""
+    return P(*([None] * (x.ndim - 1)), "model")
 
-    COLUMN = ("dense0", "dense2")  # outputs sharded over "model"
-    ROW = ("dense1", "dense_out")  # contract the sharded axis, psum after
+
+def _row_spec(x):
+    """Row parallel: contraction (second-to-last) axis sharded over "model";
+    XLA inserts the psum after the local contraction. Biases replicated."""
+    if x.ndim < 2:
+        return P()
+    return P(*([None] * (x.ndim - 2)), "model", None)
+
+
+# Megatron column→row pairing for the MLP score net: dense0/dense2 outputs
+# sharded (activations come out hidden-sharded, biases sharded to match),
+# dense1/dense_out contract the sharded hidden axis locally then psum.
+MLP_TP_RULES = (
+    (r"(dense0|dense2)/kernel$", _col_spec),
+    (r"(dense0|dense2)/bias$", _col_spec),
+    (r"(dense1|dense_out)/kernel$", _row_spec),
+)
+
+# Tensor-parallel rules for the ADM U-Nets (UNetModel / VorticityUNet /
+# UNet1D): each ResBlock's in_conv and the embedding projection are
+# column-sharded over the output channels, the zero-init out_conv is
+# row-sharded (contracts the sharded channels, one psum back to replicated
+# residual stream); attention qkv/proj_out get the same column→row pairing.
+# conv_in/conv_out/skip/time-embed stay replicated (thin I/O layers).
+UNET_TP_RULES = (
+    (r"(in_conv|emb_dense|qkv)/kernel$", _col_spec),
+    (r"(in_conv|emb_dense|qkv)/bias$", _col_spec),
+    (r"(out_conv|proj_out)/kernel$", _row_spec),
+)
+
+
+def shard_params(variables, mesh: Mesh, rules, *, min_sharded: int = 1):
+    """General tensor-parallel placement: place every param leaf according to
+    the first rule whose regex matches its `/`-joined path (e.g.
+    "params/core/down_res0/in_conv/kernel"); unmatched leaves are replicated.
+
+    A rule is (pattern, spec) with spec a PartitionSpec or a callable
+    leaf -> PartitionSpec (so one rule covers Dense and conv kernels of
+    different ranks). Leaves whose matched axis is not divisible by the
+    "model" axis size fall back to replicated. Raises if fewer than
+    `min_sharded` leaves actually end up sharded — a renamed layer can
+    therefore never silently turn TP into a no-op.
+    """
+    import re
+
+    n_model = mesh.shape["model"]
+    n_sharded = 0
+
+    def _path_str(path):
+        return "/".join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+        )
 
     def place(path, x):
-        name = "/".join(str(p) for p in path)
+        nonlocal n_sharded
+        name = _path_str(path)
         spec = P()
-        if any(k in name for k in COLUMN):
-            spec = P(None, "model") if x.ndim == 2 else P("model")
-        elif any(k in name for k in ROW):
-            spec = P("model", None) if x.ndim == 2 else P()
+        for pattern, rule_spec in rules:
+            if re.search(pattern, name):
+                spec = rule_spec(x) if callable(rule_spec) else rule_spec
+                break
+        # divisibility guard: replicate rather than fail on odd widths
+        for axis, part in enumerate(spec):
+            if part is not None and x.shape[axis] % n_model != 0:
+                spec = P()
+                break
+        if any(part is not None for part in spec):
+            n_sharded += 1
         return jax.device_put(x, NamedSharding(mesh, spec))
 
-    return jax.tree_util.tree_map_with_path(place, variables)
+    placed = jax.tree_util.tree_map_with_path(place, variables)
+    if n_sharded < min_sharded:
+        raise ValueError(
+            f"shard_params: only {n_sharded} leaves matched the TP rules "
+            f"(need >= {min_sharded}) — do the rule patterns still match the "
+            "model's layer names?"
+        )
+    return placed
+
+
+def shard_mlp_params(variables, mesh: Mesh):
+    """Tensor-parallel placement for the MLP score net (see MLP_TP_RULES)."""
+    return shard_params(variables, mesh, MLP_TP_RULES, min_sharded=4)
+
+
+def shard_unet_params(variables, mesh: Mesh):
+    """Tensor-parallel placement for the ADM U-Nets (see UNET_TP_RULES)."""
+    return shard_params(variables, mesh, UNET_TP_RULES, min_sharded=4)
 
 
 def sharded_kernel_mean(x, y, mesh: Mesh):
