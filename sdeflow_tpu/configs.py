@@ -87,6 +87,9 @@ class DataConfig:
     large_image: bool = False
     smoothing: int = 0
     localized: bool = False
+    # Lorenz-96: system size of the simulated L96 used as data source
+    # (reference data.py:584 default n_dim_L96=100)
+    n_dim_l96: int = 100
     # ERA5
     season: str = "all"
     use_deseason: bool = False
@@ -327,6 +330,47 @@ def _era5vorttemp():
     )
 
 
+def _lorenz96():
+    # reference: MSGM_higherDim.py:309 (override case commented out — no
+    # dataset-specific overrides) + driver wiring :580-581; sampler defaults
+    # from data.py:583-616 (n_dim_L96=100, dim=8, /10 rescale)
+    return ExperimentConfig(
+        name="lorenz96",
+        data=DataConfig(datatype="lorenz96", dims=(8,)),
+        plots=PlotConfig(plot_xlim=4.0, val_hist=8.0),
+    )
+
+
+def _eof_pressure():
+    # reference: MSGM_higherDim.py:311 + :582-583; loader defaults
+    # data.py:502-531 (dim=8, /250000 rescale, pre-standardized PCs)
+    return ExperimentConfig(
+        name="eof_pressure",
+        data=DataConfig(datatype="eof_pressure", dims=(8,), normalized=False),
+        plots=PlotConfig(plot_xlim=5.0, val_hist=10.0),
+    )
+
+
+def _weather_station():
+    # reference: MSGM_higherDim.py:313 + :584-585; loader defaults
+    # data.py:421-500 (dim=30, polar→cartesian wind, timestamp intersection)
+    return ExperimentConfig(
+        name="weather_station",
+        data=DataConfig(datatype="weather_station", dims=(30,)),
+        plots=PlotConfig(plot_xlim=5.0, val_hist=10.0),
+    )
+
+
+def _ncar():
+    # reference: MSGM_higherDim.py:315 + :586-587; loader defaults
+    # data.py:388-418 (dim=90, per-column standardization in the loader)
+    return ExperimentConfig(
+        name="ncar",
+        data=DataConfig(datatype="ncar", dims=(90,), normalized=False),
+        plots=PlotConfig(plot_xlim=5.0, val_hist=10.0),
+    )
+
+
 PRESETS = {
     "swissroll": _swissroll,
     "gaussian": _gaussian,
@@ -341,6 +385,10 @@ PRESETS = {
     "era5": _era5,
     "era5temp": _era5temp,
     "era5vorttemp": _era5vorttemp,
+    "lorenz96": _lorenz96,
+    "eof_pressure": _eof_pressure,
+    "weather_station": _weather_station,
+    "ncar": _ncar,
 }
 
 

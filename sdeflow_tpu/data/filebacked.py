@@ -453,20 +453,34 @@ class WeatherStation(ArraySampler):
         )
 
 
+def _read_netcdf_var(path, varname):
+    """Read one variable from a netCDF file: netCDF4 when installed (handles
+    NetCDF4/HDF5), otherwise scipy's netcdf_file (NetCDF3 classic). Raises
+    ImportError naming both options only when neither reader can open it."""
+    try:
+        from netCDF4 import Dataset
+    except ImportError:
+        Dataset = None
+    if Dataset is not None:
+        return np.array(Dataset(path, "r").variables[varname][:])
+    try:
+        from scipy.io import netcdf_file
+    except ImportError as e:
+        raise ImportError(
+            "reading netCDF requires the optional netCDF4 package (any "
+            "format) or scipy (NetCDF3 classic)"
+        ) from e
+    with netcdf_file(path, "r", mmap=False) as ds:
+        return np.array(ds.variables[varname][:])
+
+
 class EOFPressure(ArraySampler):
     """North-Atlantic pressure pseudo-PCs from netCDF
-    (reference: data.py:502-531). Requires the optional netCDF4 package."""
+    (reference: data.py:502-531)."""
 
     def __init__(self, dim=8):
-        try:
-            from netCDF4 import Dataset
-        except ImportError as e:
-            raise ImportError(
-                "EOFPressure requires the optional netCDF4 package"
-            ) from e
         path = _require(os.path.join(get_data_root(), "pcs2.nc"))
-        dataset = Dataset(path, "r")
-        npdata = np.array(dataset.variables["pseudo_pcs"][:])
+        npdata = _read_netcdf_var(path, "pseudo_pcs")
         npdata = npdata[:-1, :dim] / 250000
         n_test = npdata.shape[0] // 3
         super().__init__(

@@ -90,7 +90,7 @@ def make_sampler(cfg: ExperimentConfig, dim, key, complexity=None):
         # complexity carries n_dim_L96 here (reference MSGM_higherDim.py:581);
         # the default inf sentinel from ntrain_maxs means "use the default"
         if complexity is None or not np.isfinite(complexity):
-            n_dim = 100
+            n_dim = dc.n_dim_l96
         else:
             n_dim = int(complexity)
         return D.Lorenz96(n_dim, dim, normalized=dc.normalized)
@@ -258,7 +258,10 @@ class ExperimentDriver:
                     xtest = sampler.sampletest(key_test, sw.num_samples)
                     real_dim = int(xtest.shape[1])
                     std_test = jnp.std(xtest, axis=0)
-                    if normalized and hasattr(sampler, "get_std"):
+                    # samplers without normalization support (weather_station,
+                    # ncar, eof_pressure — which standardize internally) carry
+                    # no std, mirroring the reference's missing get_std there
+                    if normalized and getattr(sampler, "std", None) is not None:
                         std_norm = sampler.get_std()
                     else:
                         std_norm = jnp.ones((real_dim,))

@@ -210,16 +210,21 @@ def test_weather_station_loader(data_root, rng):
     assert bool(jnp.isfinite(x).all())
 
 
-def test_eof_pressure_requires_netcdf(data_root):
-    """netCDF4 is an optional dependency (absent in this environment): the
-    loader must raise a clear ImportError, not a confusing crash."""
+def test_eof_pressure_loader_netcdf3(data_root, rng):
+    """EOFPressure reads NetCDF via netCDF4 when installed, else scipy's
+    NetCDF3 reader — exercised here with a scipy-written pcs2.nc fixture."""
+    from scipy.io import netcdf_file
+
     from sdeflow_tpu.data import EOFPressure
 
-    try:
-        import netCDF4  # noqa: F401
-
-        pytest.skip("netCDF4 present; gate not exercised")
-    except ImportError:
-        pass
-    with pytest.raises(ImportError, match="netCDF4"):
-        EOFPressure(dim=4)
+    rs = np.random.RandomState(0)
+    with netcdf_file(str(data_root / "pcs2.nc"), "w") as f:
+        f.createDimension("time", 90)
+        f.createDimension("mode", 12)
+        v = f.createVariable("pseudo_pcs", "f8", ("time", "mode"))
+        v[:] = rs.randn(90, 12) * 250000
+    s = EOFPressure(dim=4)
+    x = s.sample(rng, 8)
+    assert x.shape == (8, 4)
+    # /250000 rescale applied
+    assert float(jnp.abs(s.npdata).max()) < 50.0

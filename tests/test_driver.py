@@ -143,6 +143,95 @@ def test_driver_piv_fixture_sweep(rng, tmp_path, monkeypatch):
         set_data_root(prev)
 
 
+def _write_lorenz96_fixture(root):
+    rs = np.random.RandomState(0)
+    np.save(root / "L96_n100_data.npy", rs.randn(300, 100) * 10)
+    np.save(root / "L96_n100_data_test.npy", rs.randn(120, 100) * 10)
+
+
+def _write_eof_fixture(root):
+    from scipy.io import netcdf_file
+
+    rs = np.random.RandomState(0)
+    with netcdf_file(str(root / "pcs2.nc"), "w") as f:
+        f.createDimension("time", 90)
+        f.createDimension("mode", 12)
+        v = f.createVariable("pseudo_pcs", "f8", ("time", "mode"))
+        v[:] = rs.randn(90, 12) * 250000
+
+
+def _write_ncar_fixture(root):
+    folder = root / "isfs_m2hats_qc_geo_hr_202309"
+    os.makedirs(folder)
+    np.save(folder / "subsample_data.npy",
+            np.random.RandomState(0).randn(200, 20) * 3 + 1)
+
+
+def _write_weather_fixture(root):
+    folder = root / "weather-data-2022-12-05-to-2023-02-27"
+    os.makedirs(folder)
+    rs = np.random.RandomState(0)
+
+    def write_station(name):
+        lines = ['"h1"', '"h2"', '"h3"', '"h4"']
+        times = (
+            ['"2022-12-06 23:55:00"', '"2022-12-07 00:00:00"']
+            + ['"2022-12-07 00:%02d:00"' % m for m in range(5, 65, 5)]
+            + ['"2023-02-26 23:55:00"']
+        )
+        for t in times:
+            lines.append(
+                f"{t},{rs.rand():.2f},{rs.rand() * 10:.3f},{rs.rand() * 360:.2f}"
+            )
+        (folder / f"{name}.dat").write_text("\n".join(lines) + "\n")
+
+    for i in (14, 15):
+        write_station(f"CR300-{i}_Mesures_0{i}")
+    for i in range(559, 572):
+        write_station(f"CR300-{i}_Mesures_{i}")
+
+
+@pytest.mark.parametrize(
+    "preset,builder",
+    [
+        ("lorenz96", _write_lorenz96_fixture),
+        ("eof_pressure", _write_eof_fixture),
+        ("weather_station", _write_weather_fixture),
+        ("ncar", _write_ncar_fixture),
+    ],
+)
+def test_driver_datatype_fixture_smoke(preset, builder, tmp_path, monkeypatch):
+    """The four remaining reference datatypes (MSGM_higherDim.py:580-587)
+    drive end to end through their named presets at smoke scale, each against
+    a synthetic fixture in the loader's on-disk format."""
+    from dataclasses import replace
+    from sdeflow_tpu.data import set_data_root, get_data_root
+
+    monkeypatch.chdir(tmp_path)
+    root = tmp_path / "MSGM-data"
+    root.mkdir()
+    builder(root)
+    prev = get_data_root()
+    set_data_root(str(root))
+    try:
+        cfg = get_preset(preset + "_dbg")
+        cfg = replace(
+            cfg,
+            data=replace(cfg.data, dims=(4,)),
+            sweep=replace(cfg.sweep, eval_mmd=True, num_samples=16,
+                          iterationss=(4,), num_stepss_backward=(4,),
+                          ntrain_maxs=(np.inf,), batch_sizes=(2,)),
+            results_dir=str(tmp_path / "results"),
+        )
+        driver = ExperimentDriver(cfg, log_fn=lambda *_: None,
+                                  make_plots=False)
+        results = driver.run(jax.random.PRNGKey(0))
+        assert results["mmd_sgm"][0, 0, 0, 0, 0] > 0
+        assert results["mmd_msgm"][0, 0, 0, 0, 0] > 0
+    finally:
+        set_data_root(prev)
+
+
 def test_driver_ssm_intT_arm(rng, tmp_path, monkeypatch):
     """ssm_intT mode through the full driver: the MSGM arm trains on the
     gridded-time loss with the fair RAM rule (batch / num_steps_forward)
