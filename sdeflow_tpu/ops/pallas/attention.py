@@ -44,6 +44,64 @@ def _attention_math(qkv, num_heads):
     return jnp.einsum("bhts,bshc->bthc", w, v).reshape(b, t, c)
 
 
+def _attention_flash_math(qkv, num_heads, kv_block=None):
+    """Tiled online-softmax attention in plain jnp: the same math as
+    `_attention_math`, but the KV axis is a `lax.scan` over kv_block tiles
+    with a rematerialized body, so the (T, T) score matrix is never alive —
+    peak activation memory is O(T·kv_block) per head in the primal, under
+    `jax.grad` (the remat recomputes each tile's scores in the backward) AND
+    under the SSM loss's forward-mode JVP. This is the long-sequence autodiff
+    path the flash Pallas kernel (no-grad sampling) pairs with; the reference
+    trains straight through its O(T²) attention (model/unet.py:231-250)."""
+    b, t, c3 = qkv.shape
+    c = c3 // 3
+    ch = c // num_heads
+    kv_block = kv_block or _FLASH_KV_BLOCK
+    if t % kv_block != 0:
+        return _attention_math(qkv, num_heads)
+    nk = t // kv_block
+
+    qkv_h = qkv.reshape(b, t, num_heads, 3 * ch)
+    scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(ch, jnp.float32)))
+    q = qkv_h[..., :ch] * scale                       # (b, t, h, ch)
+    k = (qkv_h[..., ch : 2 * ch] * scale).reshape(b, nk, kv_block, num_heads, ch)
+    v = qkv_h[..., 2 * ch :].reshape(b, nk, kv_block, num_heads, ch)
+    kt = jnp.moveaxis(k, 1, 0)                        # (nk, b, blk, h, ch)
+    vt = jnp.moveaxis(v, 1, 0)
+
+    @jax.checkpoint
+    def body(carry, tile):
+        m, l, acc = carry
+        kb, vb = tile
+        s = jnp.einsum("bthc,bshc->bhts", q, kb,
+                       preferred_element_type=jnp.float32)  # (b, h, t, blk)
+        m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
+        corr = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l * corr + p.sum(axis=-1, keepdims=True)
+        acc_new = acc * corr + jnp.einsum(
+            "bhts,bshc->bhtc", p.astype(vb.dtype), vb,
+            preferred_element_type=jnp.float32,
+        )
+        return (m_new, l_new, acc_new), None
+
+    m0 = jnp.full((b, num_heads, t, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((b, num_heads, t, 1), jnp.float32)
+    acc0 = jnp.zeros((b, num_heads, t, ch), jnp.float32)
+    (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), (kt, vt))
+    out = (acc / l).astype(qkv.dtype)                 # (b, h, t, ch)
+    return jnp.moveaxis(out, 1, 2).reshape(b, t, c)
+
+
+def _attention_reference(qkv, num_heads):
+    """The jnp implementation autodiff differentiates through: flash-tiled
+    above the long-sequence threshold (O(T) memory training), the plain
+    (T, T) form below it (XLA fuses it best at small T)."""
+    if qkv.shape[1] > _FLASH_SEQ_THRESHOLD:
+        return _attention_flash_math(qkv, num_heads)
+    return _attention_math(qkv, num_heads)
+
+
 def _attn_kernel(qkv_ref, o_ref, *, num_heads):
     # Batch-tiled: each grid step attends over a (Bb, T, 3C) tile with
     # batched MXU matmuls. Heads use a static loop over 2D channel slices —
@@ -190,11 +248,16 @@ def qkv_attention(qkv, num_heads=1):
         return _attention_flash(qkv, num_heads)
     if nn_kernels_enabled():
         return _attention_pallas(qkv, num_heads)
-    return _attention_math(qkv, num_heads)
+    return _attention_reference(qkv, num_heads)
 
 
 @qkv_attention.defjvp
 def _qkv_attention_jvp(num_heads, primals, tangents):
+    # autodiff (both modes) goes through the jnp reference — flash-tiled
+    # with remat above the threshold, so jax.grad at T > 1024 stays O(T)
+    # memory instead of rebuilding the (T, T) scores per head
     (qkv,) = primals
     (dqkv,) = tangents
-    return jax.jvp(lambda q: _attention_math(q, num_heads), (qkv,), (dqkv,))
+    return jax.jvp(
+        lambda q: _attention_reference(q, num_heads), (qkv,), (dqkv,)
+    )
