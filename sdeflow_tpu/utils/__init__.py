@@ -3,9 +3,13 @@ from sdeflow_tpu.utils.profiling import (
     trace,
     Timer,
     benchmark,
+    device_seconds,
+    compiled_flops,
+    peak_flops,
     attention_flops,
     param_count,
 )
 
 __all__ = ["enable_compilation_cache", "trace", "Timer", "benchmark",
+           "device_seconds", "compiled_flops", "peak_flops",
            "attention_flops", "param_count"]

@@ -68,6 +68,63 @@ def benchmark(fn, *args, repeats=5, inner=1):
     return best
 
 
+def device_seconds(step, short=2, long=12, repeats=3):
+    """Honest seconds-per-step through a remote/async backend.
+
+    `step(i)` (i a traced int32 — fold it into keys/inputs so iterations
+    can't be hoisted as loop-invariant) must return a small scalar. The
+    whole chain runs as ONE jitted dynamic-bound fori_loop, so host/link
+    latency never lands between iterations; syncing is a scalar host
+    transfer; the reported time is the slope between two loop lengths, so
+    the constant dispatch+transfer cost cancels. Needed because the remote
+    (axon) runtime does not honor block_until_ready — Timer/benchmark there
+    measure dispatch pipelining, not device time.
+    """
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chain(n):
+        return jax.lax.fori_loop(
+            0, n, lambda i, acc: acc + step(i), jnp.zeros((), jnp.float32)
+        )
+
+    def run(n):
+        t0 = time.perf_counter()
+        np.asarray(chain(n))
+        return time.perf_counter() - t0
+
+    run(short)  # compile + warm
+    t_short = min(run(short) for _ in range(repeats))
+    t_long = min(run(long) for _ in range(repeats))
+    return max((t_long - t_short) / (long - short), 1e-12)
+
+
+def compiled_flops(jitted, *args):
+    """XLA's FLOP estimate for one call of a jitted function (the compiled
+    executable's cost analysis; works on the remote TPU backend)."""
+    analysis = jitted.lower(*args).compile().cost_analysis()
+    if isinstance(analysis, (list, tuple)):
+        analysis = analysis[0]
+    return float(analysis.get("flops", 0.0))
+
+
+# Peak dense matmul throughput per chip, FLOP/s (bf16 inputs, fp32
+# accumulate — the MXU path XLA uses for both bf16 and default-precision
+# fp32 matmuls here). TPU v5e: 197 TFLOP/s.
+PEAK_FLOPS = {"tpu v5 lite": 197e12, "tpu v5e": 197e12}
+
+
+def peak_flops(device=None):
+    """Best-effort peak FLOP/s for the current (or given) device; None if
+    unknown (callers should then skip MFU reporting)."""
+    device = device or jax.devices()[0]
+    kind = getattr(device, "device_kind", "").lower()
+    for name, peak in PEAK_FLOPS.items():
+        if name in kind:
+            return peak
+    return None
+
+
 def attention_flops(batch, spatial, channels):
     """Matmul FLOPs of one attention block: two (T², C) contractions
     (reference thop counter, model/unet.py:252-273 counts MACs; this is
