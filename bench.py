@@ -61,7 +61,7 @@ def sampling_benchmark():
     def step(i):
         return solve(jax.random.fold_in(jax.random.PRNGKey(1), i)).mean()
 
-    sec = device_seconds(step, short=2, long=12)
+    sec = device_seconds(step, short=2)
     flops = compiled_flops(jax.jit(solve), key)
     peak = peak_flops()
     mfu = flops / sec / peak if peak else None
@@ -96,7 +96,7 @@ def unet_forward_mfu():
         # i-dependent input so iterations can't be hoisted loop-invariant
         return fwd(x + 1e-6 * i).mean().astype(jnp.float32)
 
-    sec = device_seconds(step, short=1, long=6)
+    sec = device_seconds(step, short=1)
     flops = compiled_flops(jax.jit(fwd), x)
     peak = peak_flops()
     imgs_per_s = UNET_BATCH / sec

@@ -68,7 +68,7 @@ def benchmark(fn, *args, repeats=5, inner=1):
     return best
 
 
-def device_seconds(step, short=2, long=12, repeats=3):
+def device_seconds(step, short=2, long=None, repeats=3, target=0.5):
     """Honest seconds-per-step through a remote/async backend.
 
     `step(i)` (i a traced int32 — fold it into keys/inputs so iterations
@@ -79,6 +79,10 @@ def device_seconds(step, short=2, long=12, repeats=3):
     the constant dispatch+transfer cost cancels. Needed because the remote
     (axon) runtime does not honor block_until_ready — Timer/benchmark there
     measure dispatch pipelining, not device time.
+
+    With long=None the chain length is auto-calibrated so the measured
+    slope window spans ~`target` seconds of device time (link jitter is
+    tens of ms; short fixed windows can read slope <= 0 on fast ops).
     """
     import jax.numpy as jnp
 
@@ -94,6 +98,9 @@ def device_seconds(step, short=2, long=12, repeats=3):
         return time.perf_counter() - t0
 
     run(short)  # compile + warm
+    if long is None:
+        est = max((run(short + 14) - run(short)) / 14, 1e-6)
+        long = short + int(min(2048, max(10, target / est)))
     t_short = min(run(short) for _ in range(repeats))
     t_long = min(run(long) for _ in range(repeats))
     return max((t_long - t_short) / (long - short), 1e-12)

@@ -1,0 +1,268 @@
+"""Regenerate EVERY device-performance number in README.md from one tool.
+
+All timings use utils.profiling.device_seconds — N calls chained inside a
+single jitted fori_loop, slope between two chain lengths — because the
+remote (axon) runtime does not honor block_until_ready (host loops measure
+dispatch pipelining, not device time). Results merge into PERF_MEASURED.json
+at the repo root, per-section, so a wedged-tunnel section can be re-run
+alone:
+
+    python tools/measure_perf.py --section mlp_sampling
+    python tools/measure_perf.py --section msgm_circulant      # pallas on
+    SDEFLOW_DISABLE_PALLAS=1 python tools/measure_perf.py --section msgm_circulant
+    python tools/measure_perf.py --section unet_forward
+    python tools/measure_perf.py --section trainer
+    python tools/measure_perf.py --section flash_fwd           # pallas on
+    SDEFLOW_DISABLE_PALLAS=1 python tools/measure_perf.py --section flash_fwd
+    python tools/measure_perf.py --section flash_bwd
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "PERF_MEASURED.json")
+
+
+def _pallas_tag():
+    from sdeflow_tpu.ops.pallas.common import pallas_enabled
+
+    return "pallas" if pallas_enabled() else "xla"
+
+
+def sec_mlp_sampling():
+    """Headline config (reference MSGM_higherDim.py:902-906): 10k samples,
+    128-step RK4 reverse solve, d=2 MLP score net — bf16 and fp32."""
+    from sdeflow_tpu.models import MLP
+    from sdeflow_tpu.sde import SGMSde, PluginReverseSDE
+    from sdeflow_tpu.ops.integrators import integrate_sde
+    from sdeflow_tpu.utils import device_seconds, compiled_flops, peak_flops
+
+    n, d, steps = 10_000, 2, 128
+    key = jax.random.PRNGKey(0)
+    out = {}
+    for tag, dtype in (("bf16", jnp.bfloat16), ("fp32", jnp.float32)):
+        model = MLP(input_dim=d, dtype=dtype)
+        variables = model.init(key, jnp.zeros((n, d)), jnp.zeros((n,)))
+        sde = SGMSde.create(beta_min=0.1, beta_max=20.0, num_steps_forward=16)
+        gen = PluginReverseSDE.create(sde, model.apply, variables)
+
+        def solve(k):
+            k_lat, k_solve = jax.random.split(k)
+            x0 = gen.latent_sample(k_lat, n, d)
+            return integrate_sde(gen, x0, k_solve, steps, method="rk4")
+
+        sec = device_seconds(
+            lambda i: solve(jax.random.fold_in(key, i)).mean().astype(jnp.float32),
+            short=2,
+        )
+        out[f"sampling_mlp_{tag}_samples_per_s"] = n / sec
+        peak = peak_flops()
+        if peak:
+            out[f"sampling_mlp_{tag}_mfu"] = (
+                compiled_flops(jax.jit(solve), key) / sec / peak
+            )
+    return out
+
+
+def sec_msgm_circulant():
+    """MSGM sparse (circulant) d=1024, B=4096, 128-step norm-corrected RK4
+    reverse solve — the Pallas stencil's showcase. Run once normally and
+    once under SDEFLOW_DISABLE_PALLAS=1 for the XLA-roll comparison."""
+    from sdeflow_tpu.models import MLP
+    from sdeflow_tpu.sde import MSGMSde, PluginReverseSDE
+    from sdeflow_tpu.ops.integrators import integrate_sde
+    from sdeflow_tpu.utils import device_seconds
+
+    d, b, steps = 1024, 4096, 128
+    key = jax.random.PRNGKey(0)
+    x_init = jax.random.normal(key, (4096, d))
+    sde = MSGMSde.create(key, x_init, dense_tensor=False)
+    model = MLP(input_dim=d, premodule="NormalizeLogRadius")
+    variables = model.init(key, x_init[:8], jnp.zeros((8,)))
+    gen = PluginReverseSDE.create(sde, model.apply, variables)
+
+    def solve(k):
+        k_lat, k_solve = jax.random.split(k)
+        x0 = gen.latent_sample(k_lat, b, d)
+        return integrate_sde(gen, x0, k_solve, steps, method="rk4",
+                             norm_correction=True)
+
+    sec = device_seconds(
+        lambda i: solve(jax.random.fold_in(key, i)).mean().astype(jnp.float32),
+        short=1,
+    )
+    return {f"msgm_circulant_d1024_{_pallas_tag()}_samples_per_s": b / sec}
+
+
+def sec_unet_forward():
+    """16x16 attention U-Net score-net forward (serving config): B=256 and
+    B=2048, fp32 and bf16, with MFU for the compute-bound shapes."""
+    from sdeflow_tpu.models import VorticityUNet
+    from sdeflow_tpu.utils import device_seconds, compiled_flops, peak_flops
+
+    key = jax.random.PRNGKey(0)
+    out = {}
+    for tag, dtype in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
+        model = VorticityUNet(
+            base_channels=32, channel_mults=(1, 2, 4), num_res_blocks=2,
+            premodule="NormalizeLogRadius", in_space=16,
+            attention_resolutions=(2, 4), flatten_order="F", dtype=dtype,
+        )
+        for b in (256, 2048):
+            x = jax.random.normal(key, (b, 256))
+            t = jnp.linspace(0.01, 1.0, b)
+            variables = model.init(key, x[:8], t[:8])
+
+            def fwd(xi):
+                return model.apply(variables, xi, t)
+
+            sec = device_seconds(
+                lambda i: fwd(x + 1e-6 * i).mean().astype(jnp.float32),
+                short=1,
+            )
+            out[f"unet16_fwd_b{b}_{tag}_imgs_per_s"] = b / sec
+            out[f"unet16_fwd_b{b}_{tag}_ms"] = sec * 1e3
+            peak = peak_flops()
+            if peak:
+                out[f"unet16_fwd_b{b}_{tag}_mfu"] = (
+                    compiled_flops(jax.jit(fwd), x) / sec / peak
+                )
+    return out
+
+
+def sec_trainer():
+    """Fused lax.scan trainer steps/s: SGM (swissroll MLP, batch 256) and
+    MSGM (16-step RK4 forward solve inside every loss eval). Device time per
+    step is the slope between a 64-step and a 512-step chunk program."""
+    import time
+
+    import numpy as np
+    import optax
+
+    from sdeflow_tpu.data import SwissRoll, GaussianCauchy
+    from sdeflow_tpu.models import MLP
+    from sdeflow_tpu.sde import SGMSde, MSGMSde, PluginReverseSDE
+    from sdeflow_tpu.training import TrainState
+    from sdeflow_tpu.training.train import make_train_chunk
+
+    key = jax.random.PRNGKey(0)
+    out = {}
+
+    def steps_per_s(chunk, state):
+        def run(n):
+            t0 = time.perf_counter()
+            np.asarray(chunk(state, key, n)[1])
+            return time.perf_counter() - t0
+
+        run(64), run(512)  # compile both lengths
+        t64 = min(run(64) for _ in range(3))
+        t512 = min(run(512) for _ in range(3))
+        return 448 / max(t512 - t64, 1e-9)
+
+    # SGM arm
+    sampler = SwissRoll()
+    model = MLP(input_dim=2)
+    x0 = sampler.sample(key, 256)
+    variables = model.init(key, x0, jnp.zeros((256,)))
+    sde = SGMSde.create(num_steps_forward=16)
+    gen = PluginReverseSDE.create(sde, model.apply, variables)
+    opt = optax.adam(1e-3)
+    state = TrainState(gen_sde=gen, opt_state=opt.init(gen.a_params),
+                       step=jnp.zeros((), jnp.int32))
+    chunk = make_train_chunk(opt, sampler.sample, 256)
+    out["train_sgm_fused_steps_per_s"] = steps_per_s(chunk, state)
+
+    # MSGM arm (16-step RK4 forward solve per loss eval)
+    sampler_m = GaussianCauchy(key, dim=2)
+    xm = sampler_m.sample(key, 2048)
+    sde_m = MSGMSde.create(key, xm, beta_max=2.0, num_steps_forward=16,
+                           norm_map="log")
+    model_m = MLP(input_dim=2, premodule="NormalizeLogRadius")
+    vm = model_m.init(key, xm[:8], jnp.zeros((8,)))
+    gen_m = PluginReverseSDE.create(sde_m, model_m.apply, vm)
+    state_m = TrainState(gen_sde=gen_m, opt_state=opt.init(gen_m.a_params),
+                         step=jnp.zeros((), jnp.int32))
+    chunk_m = make_train_chunk(opt, sampler_m.sample, 256)
+    out["train_msgm_fused_steps_per_s"] = steps_per_s(chunk_m, state_m)
+    return out
+
+
+def sec_flash_fwd():
+    """No-grad long-sequence attention forward at T=4096, 4 heads, C=64,
+    B=8: the dispatcher's choice (Pallas flash kernel when enabled, tiled
+    flash-math jnp otherwise) vs the dense (T, T) math. Run once normally
+    and once under SDEFLOW_DISABLE_PALLAS=1."""
+    from sdeflow_tpu.ops.pallas.attention import qkv_attention, _attention_math
+    from sdeflow_tpu.utils import device_seconds
+
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (8, 4096, 3 * 64))
+    tag = _pallas_tag()
+    out = {}
+    for name, fn in ((f"flash_{tag}", qkv_attention),
+                     ("dense_math", _attention_math)):
+        if name == "dense_math" and tag == "xla":
+            pass  # measure dense once per run; harmless to re-measure
+        sec = device_seconds(
+            lambda i: fn(qkv + 1e-6 * i, 4).mean().astype(jnp.float32),
+            short=2,
+        )
+        out[f"attn_fwd_T4096_{name}_ms"] = sec * 1e3
+    return out
+
+
+def sec_flash_bwd():
+    """Delegates to tools/measure_flash_bwd.py's methodology."""
+    from tools.measure_flash_bwd import time_grad
+    from sdeflow_tpu.ops.pallas.attention import (
+        _attention_math, _attention_flash_math,
+    )
+
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (4, 4096, 3 * 64))
+    return {
+        "attn_bwd_T4096_dense_ms": time_grad(_attention_math, qkv) * 1e3,
+        "attn_bwd_T4096_flash_ms": time_grad(_attention_flash_math, qkv) * 1e3,
+    }
+
+
+SECTIONS = {
+    "mlp_sampling": sec_mlp_sampling,
+    "msgm_circulant": sec_msgm_circulant,
+    "unet_forward": sec_unet_forward,
+    "trainer": sec_trainer,
+    "flash_fwd": sec_flash_fwd,
+    "flash_bwd": sec_flash_bwd,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--section", required=True, choices=sorted(SECTIONS))
+    args = ap.parse_args()
+
+    from sdeflow_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    result = SECTIONS[args.section]()
+    merged = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            merged = json.load(f)
+    merged.update({k: (round(v, 4) if isinstance(v, float) else v)
+                   for k, v in result.items()})
+    merged["backend"] = jax.default_backend()
+    with open(OUT, "w") as f:
+        json.dump(merged, f, indent=1, sort_keys=True)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
