@@ -74,6 +74,18 @@ def rk4_step(flow, t, x, delta, dW, lmbd=0.0):
 _STEP_FNS = {"em": em_step, "heun": heun_step, "rk4": rk4_step}
 
 
+def _resolve_step_fn(flow, method):
+    """The flow may provide a whole-step override (e.g. ForwardFlow.rk4_step
+    dispatches the circulant MSGM forward step to one fused Pallas program);
+    otherwise use the generic per-stage composition."""
+    override = getattr(flow, f"{method}_step", None)
+    if override is not None:
+        return lambda flow, t, x, delta, dW, lmbd: override(
+            t, x, delta, dW, lmbd
+        )
+    return _STEP_FNS[method]
+
+
 def _norm_project(x, norm0):
     """Exact norm re-projection x ← x·‖x_0‖/‖x‖ (reference: sde_scheme.py:85-86)."""
     n = jnp.linalg.norm(x, axis=-1, keepdims=True)
@@ -111,7 +123,7 @@ def integrate_sde(
       keep_all: return the whole trajectory (S, B, d) instead of (B, d);
         S = num_steps (+1 if include_t0 prepends x0).
     """
-    step_fn = _STEP_FNS[method]
+    step_fn = _resolve_step_fn(flow, method)
     x0 = jnp.asarray(x0)
     T = flow.T if T is None else T
     delta = jnp.asarray(T, dtype=x0.dtype) / num_steps
@@ -158,7 +170,7 @@ def integrate_select(
 
     select_idx: (B,) int32 in [0, num_steps]; index 0 returns x0.
     """
-    step_fn = _STEP_FNS[method]
+    step_fn = _resolve_step_fn(flow, method)
     x0 = jnp.asarray(x0)
     T = flow.T if T is None else T
     delta = jnp.asarray(T, dtype=x0.dtype) / num_steps

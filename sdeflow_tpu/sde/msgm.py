@@ -180,6 +180,27 @@ class MSGMSde(SDEBehavior):
             return circulant_apply(sqrt_bt, y, w)
         return dense_sigma_apply(self.G, sqrt_bt, y, w)
 
+    def fused_forward_rk4_step(self, t, x, delta, dW):
+        """One FUSED RK4 forward step (Stratonovich drift ≡ 0): all four
+        circulant stencil stages + the RK4 combine in one Pallas program
+        (ops/pallas/circulant.py circulant_rk4_step; SURVEY §7 step 8).
+        None for the dense-G case — callers fall back to generic stages."""
+        if not self.circulant:
+            return None
+        from sdeflow_tpu.ops.pallas.circulant import circulant_rk4_step
+
+        tc = _tcol(t, x)
+        sb3 = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    jnp.sqrt(self.beta(tc + s * delta)), (x.shape[0], 1)
+                )
+                for s in (0.0, 0.5, 1.0)
+            ],
+            axis=-1,
+        )
+        return circulant_rk4_step(sb3, x, dW)
+
     def ijk(self):
         """COO indices of the circulant G (parity with reference IJK(),
         SDEs.py:401-408); None for the dense case."""

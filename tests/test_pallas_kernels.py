@@ -122,6 +122,49 @@ def test_flash_attention_matches_math(rng):
     assert np.allclose(np.asarray(out2), np.asarray(ref), atol=2e-4)
 
 
+def test_fused_rk4_step_kernel_matches_math(rng):
+    """The fused whole-RK4-step circulant kernel (4 stencil stages + combine
+    in one Pallas program, SURVEY §7 step 8) against its jnp reference, in
+    interpreter mode."""
+    from sdeflow_tpu.ops.pallas.circulant import (
+        circulant_rk4_step,
+        _rk4_math_fwd,
+    )
+
+    b, d = 8, 256
+    x = jax.random.normal(rng, (b, d))
+    w = jax.random.normal(jax.random.fold_in(rng, 1), (b, d)) * 0.1
+    sb3 = jnp.abs(jax.random.normal(jax.random.fold_in(rng, 2), (b, 3))) + 0.5
+    ref = _rk4_math_fwd(sb3, x, w)
+    with force_interpret():
+        out = circulant_rk4_step(sb3, x, w)
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    # jvp routes through the identical math (SSM-path forward mode)
+    v = (jnp.zeros_like(sb3), jnp.ones_like(x) * 0.01, jnp.zeros_like(w))
+    _, tan = jax.jvp(circulant_rk4_step, (sb3, x, w), v)
+    _, tan_ref = jax.jvp(_rk4_math_fwd, (sb3, x, w), v)
+    assert np.allclose(np.asarray(tan), np.asarray(tan_ref), atol=1e-5)
+
+
+def test_fused_rk4_forward_flow_matches_generic(rng):
+    """ForwardFlow.rk4_step on a circulant MSGM must equal the generic
+    per-stage composition (zero Stratonovich drift + stencil stages)."""
+    from sdeflow_tpu.sde import MSGMSde
+    from sdeflow_tpu.sde.forward import ForwardFlow
+    from sdeflow_tpu.ops.integrators import rk4_step as generic_rk4
+
+    d = 256
+    x0 = jax.random.normal(rng, (32, d))
+    sde = MSGMSde.create(rng, x0, dense_tensor=False, num_steps_forward=8)
+    flow = ForwardFlow(base_sde=sde, T=sde.T)
+    t = jnp.float32(0.25)
+    delta = jnp.float32(0.125)
+    dW = jax.random.normal(jax.random.fold_in(rng, 1), (32, d)) * 0.1
+    fused = flow.rk4_step(t, x0, delta, dW)
+    generic = generic_rk4(flow, t, x0, delta, dW)
+    assert np.allclose(np.asarray(fused), np.asarray(generic), atol=1e-5)
+
+
 def test_flash_math_matches_math(rng):
     """The jnp flash-tiled autodiff path (scan over KV tiles, remat body)
     is the same function as the (T, T) reference up to fp reordering."""

@@ -102,6 +102,41 @@ def sec_msgm_circulant():
     return {f"msgm_circulant_d1024_{_pallas_tag()}_samples_per_s": b / sec}
 
 
+def sec_msgm_fwd_step():
+    """SURVEY §7 step 8: the fused whole-RK4-step circulant kernel vs the
+    per-stage stencil composition vs pure XLA, at d=1024, B=4096 (one
+    forward step of the MSGM noising flow; Stratonovich drift = 0)."""
+    from sdeflow_tpu.ops.pallas.circulant import (
+        circulant_rk4_step, _rk4_math_fwd, circulant_apply,
+    )
+    from sdeflow_tpu.utils import device_seconds
+
+    b, d = 4096, 1024
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (b, d))
+    w = jax.random.normal(jax.random.fold_in(key, 1), (b, d)) * 0.1
+    sb3 = jnp.abs(jax.random.normal(jax.random.fold_in(key, 2), (b, 3))) + 0.5
+
+    def staged(sb3, x, w):
+        # generic integrators.rk4_step composition: 4 Pallas stencil calls
+        # with the combine left to XLA
+        k1 = circulant_apply(sb3[:, 0:1], x, w)
+        k2 = circulant_apply(sb3[:, 1:2], x + 0.5 * k1, w)
+        k3 = circulant_apply(sb3[:, 1:2], x + 0.5 * k2, w)
+        k4 = circulant_apply(sb3[:, 2:3], x + k3, w)
+        return x + (k1 + 2.0 * k2 + 2.0 * k3 + k4) / 6.0
+
+    out = {}
+    for name, fn in (("fused", circulant_rk4_step),
+                     ("staged_stencil", staged),
+                     ("xla_math", _rk4_math_fwd)):
+        sec = device_seconds(
+            lambda i: fn(sb3, x + 1e-6 * i, w).mean(), short=2,
+        )
+        out[f"msgm_fwd_rk4_step_d1024_{name}_us"] = sec * 1e6
+    return out
+
+
 def sec_unet_forward():
     """16x16 attention U-Net score-net forward (serving config): B=256 and
     B=2048, fp32 and bf16, with MFU for the compute-bound shapes."""
@@ -235,6 +270,7 @@ def sec_flash_bwd():
 SECTIONS = {
     "mlp_sampling": sec_mlp_sampling,
     "msgm_circulant": sec_msgm_circulant,
+    "msgm_fwd_step": sec_msgm_fwd_step,
     "unet_forward": sec_unet_forward,
     "trainer": sec_trainer,
     "flash_fwd": sec_flash_fwd,
