@@ -228,3 +228,31 @@ def test_eof_pressure_loader_netcdf3(data_root, rng):
     assert x.shape == (8, 4)
     # /250000 rescale applied
     assert float(jnp.abs(s.npdata).max()) < 50.0
+
+
+def test_smoothed_grf_statistics(rng):
+    """SmoothedGRF: unit pixel variance, strong short-range correlation that
+    decays with distance, and the numpy twin (used to feed the torch
+    reference in the image parity study) matches the analytic covariance."""
+    from sdeflow_tpu.data import SmoothedGRF, grf_spectral_filter
+
+    s = SmoothedGRF(npixel=16, ell=2.0)
+    x = s.sample(rng, 4096)
+    assert x.shape == (4096, 256)
+    assert abs(float(x.std()) - 1.0) < 0.05
+    assert abs(float(x.mean())) < 0.05
+
+    # analytic covariance: Cov(x_0, x_r) = irfft2(filt^2)/norm^2
+    filt, norm = grf_spectral_filter(16, 2.0)
+    cov_map = np.fft.irfft2(filt**2, s=(16, 16)) / norm**2
+    # flat index 0 is pixel (0,0); F-order flat index r is pixel (r, 0) for
+    # r < 16 (column-major: fastest index runs down a column)
+    emp = np.asarray(x.T @ x[:, :1]).ravel() / x.shape[0]
+    for r in (1, 2, 4, 8):
+        assert abs(emp[r] - cov_map[r, 0]) < 0.08, (r, emp[r], cov_map[r, 0])
+    assert cov_map[1, 0] > 0.5  # smoothing correlates neighbours
+    assert cov_map[8, 0] < cov_map[2, 0]  # ...and decays with distance
+
+    # test stream differs from train stream
+    xt = s.sampletest(rng, 4)
+    assert not np.allclose(np.asarray(xt), np.asarray(s.sample(rng, 4)))
