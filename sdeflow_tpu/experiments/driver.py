@@ -151,11 +151,31 @@ def make_model(cfg: ExperimentConfig, dim, premodule):
 class ExperimentDriver:
     """Runs the full comparison sweep for one ExperimentConfig."""
 
-    def __init__(self, cfg: ExperimentConfig, log_fn=print, make_plots=True):
+    def __init__(self, cfg: ExperimentConfig, log_fn=print, make_plots=True,
+                 mesh=None):
         self.cfg = cfg
         self.log = log_fn
         self.make_plots = make_plots
         self.results = {}
+        # optional device mesh ("data", "model"): batches are sharded over
+        # "data" (DP) and, when the "model" axis is >1, score-net params are
+        # tensor-sharded by the per-architecture TP rules. No reference
+        # counterpart (single-device torch, MSGM_higherDim.py:438-446).
+        self.mesh = mesh
+
+    def _shard_arm_params(self, gen):
+        """Place the score net's params for tensor parallelism when the mesh
+        has a non-trivial "model" axis (parallel/sharding.py rules)."""
+        if self.mesh is None or self.mesh.shape.get("model", 1) <= 1:
+            return gen
+        from sdeflow_tpu.parallel import shard_mlp_params, shard_unet_params
+
+        shard = (
+            shard_mlp_params
+            if self.cfg.train.nn_archi == "MLP"
+            else shard_unet_params
+        )
+        return gen.replace(a_params=shard(gen.a_params, self.mesh))
 
     # -- per-arm helpers ----------------------------------------------------
     def _fair_budgets(self, is_msgm, ssm_intT, dim, batch_size_ref,
@@ -377,6 +397,7 @@ class ExperimentDriver:
             if tc.use_checkpoint else None
         )
         if not just_load:
+            gen = self._shard_arm_params(gen)
             trainer = Trainer(
                 gen, sampler, lr=tc.lr, batch_size=batch_size,
                 loss="ssm", print_every=tc.print_every,
@@ -384,6 +405,7 @@ class ExperimentDriver:
                 log_fn=self.log,
                 steps_per_dispatch=min(tc.steps_per_dispatch,
                                        max(1, iterations // 2)),
+                mesh=self.mesh,
             )
             state, _ = trainer.run(key_train, iterations,
                                    x_test=xtest[: min(1000, xtest.shape[0])])

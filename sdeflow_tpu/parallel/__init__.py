@@ -11,6 +11,7 @@ from sdeflow_tpu.parallel.sharding import (
     sharded_mmd,
     parallel_sample,
 )
+from sdeflow_tpu.parallel.ring import ring_attention
 
 __all__ = [
     "make_mesh",
@@ -27,4 +28,5 @@ __all__ = [
     "sharded_kernel_mean",
     "sharded_mmd",
     "parallel_sample",
+    "ring_attention",
 ]

@@ -37,6 +37,12 @@ def build_parser():
                    help="force the CPU backend (the reference's force_cpu)")
     p.add_argument("--data-root", default=None,
                    help="root for file-backed datasets (../MSGM-data/)")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel degree: shard training batches and "
+                        "grad-psum over a 'data' mesh axis of this size")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel degree: shard score-net params over "
+                        "a 'model' mesh axis of this size")
     p.add_argument("--delay", type=float, default=0.0,
                    help="sleep this many seconds before starting, to stagger "
                         "concurrent runs (the reference's `delayed` flag, "
@@ -87,8 +93,15 @@ def main(argv=None):
     cfg = replace(cfg, sweep=sweep, results_dir=args.results_dir,
                   seed=args.seed)
 
+    mesh = None
+    if args.dp * args.tp > 1:
+        from sdeflow_tpu.parallel import make_mesh
+
+        mesh = make_mesh(n_data=args.dp, n_model=args.tp)
+        print(f"mesh = {dict(mesh.shape)} over {args.dp * args.tp} devices")
+
     print(f"preset = {cfg.name}; backend = {jax.default_backend()}")
-    driver = ExperimentDriver(cfg, make_plots=not args.no_plots)
+    driver = ExperimentDriver(cfg, make_plots=not args.no_plots, mesh=mesh)
     if args.just_load_mmd:
         results = driver.load_mmd_and_plot()
     else:

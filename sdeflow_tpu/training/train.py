@@ -159,6 +159,7 @@ class Trainer:
         checkpoint_path: Optional[str] = None,
         log_fn: Callable[[str], None] = print,
         steps_per_dispatch: int = 1,
+        mesh=None,
     ):
         self.optimizer = optax.adam(lr)
         self.state = TrainState(
@@ -173,11 +174,31 @@ class Trainer:
         self.checkpoint_path = checkpoint_path
         self.log_fn = log_fn
         self.steps_per_dispatch = int(steps_per_dispatch)
-        self.train_step = make_train_step(self.optimizer, loss=loss)
-        if self.steps_per_dispatch > 1:
-            self.train_chunk = make_train_chunk(
-                self.optimizer, sampler.sample, batch_size, loss=loss
+        self.mesh = mesh
+        if mesh is not None:
+            # distributed training: batch sharded over the mesh's "data"
+            # axis (XLA inserts the grad psum); params keep whatever
+            # committed shardings the caller placed (e.g. shard_unet_params
+            # tensor parallelism over "model")
+            from sdeflow_tpu.parallel import (
+                make_parallel_train_step,
+                make_parallel_train_chunk,
             )
+
+            self.train_step = make_parallel_train_step(
+                self.optimizer, mesh, loss=loss
+            )
+            if self.steps_per_dispatch > 1:
+                self.train_chunk = make_parallel_train_chunk(
+                    self.optimizer, sampler.sample, batch_size, mesh,
+                    loss=loss,
+                )
+        else:
+            self.train_step = make_train_step(self.optimizer, loss=loss)
+            if self.steps_per_dispatch > 1:
+                self.train_chunk = make_train_chunk(
+                    self.optimizer, sampler.sample, batch_size, loss=loss
+                )
         self.eval_step = make_eval_step()
         self.history = []
 

@@ -204,3 +204,29 @@ def test_parallel_train_chunk_matches_single_device(rng):
         jax.tree_util.tree_leaves(s2.gen_sde.a_params),
     ):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_ring_attention_matches_math():
+    """Sequence-parallel ring attention (T sharded over "model", KV shards
+    rotated via ppermute) is exactly the single-device attention math, and
+    its gradient rings too."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdeflow_tpu.parallel import make_mesh, ring_attention
+    from sdeflow_tpu.ops.pallas.attention import _attention_math
+
+    mesh = make_mesh(n_data=1, n_model=8)
+    key = jax.random.PRNGKey(7)
+    b, t, c, h = 2, 512, 64, 4
+    qkv = jax.random.normal(key, (b, t, 3 * c), dtype=jnp.float32)
+
+    out_ring = ring_attention(qkv, h, mesh)
+    out_ref = _attention_math(qkv, h)
+    assert out_ring.shape == (b, t, c)
+    assert jnp.max(jnp.abs(out_ring - out_ref)) < 2e-5
+
+    g = jax.random.normal(jax.random.fold_in(key, 1), out_ref.shape)
+    grad_ring = jax.grad(lambda q: jnp.vdot(ring_attention(q, h, mesh), g))(qkv)
+    grad_ref = jax.grad(lambda q: jnp.vdot(_attention_math(q, h), g))(qkv)
+    assert jnp.max(jnp.abs(grad_ring - grad_ref)) < 5e-5
