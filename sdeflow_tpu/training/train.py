@@ -211,9 +211,32 @@ class Trainer:
 
         start_iter = 0
         if resume and self.checkpoint_path and checkpoint_exists(self.checkpoint_path):
+            # capture the live mesh placements first: restored arrays come
+            # back committed to a single device, which would both drop the
+            # TP shardings and conflict with mesh-placed leaves inside jit.
+            # Mesh-sharded leaves get their placement back; everything else
+            # is replicated over the mesh.
+            placements = None
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                replicated = NamedSharding(self.mesh, PartitionSpec())
+                placements = jax.tree_util.tree_map(
+                    lambda a: (
+                        a.sharding
+                        if isinstance(getattr(a, "sharding", None), NamedSharding)
+                        else replicated
+                    ),
+                    self.state,
+                )
             self.state, key, start_iter = load_checkpoint(
                 self.checkpoint_path, self.state, key
             )
+            if placements is not None:
+                self.state = jax.tree_util.tree_map(
+                    jax.device_put, self.state, placements
+                )
+                key = jax.device_put(key, replicated)
             self.log_fn(f"Resuming from iteration {start_iter + 1}")
             start_iter += 1
 

@@ -230,3 +230,46 @@ def test_ring_attention_matches_math():
     grad_ring = jax.grad(lambda q: jnp.vdot(ring_attention(q, h, mesh), g))(qkv)
     grad_ref = jax.grad(lambda q: jnp.vdot(_attention_math(q, h), g))(qkv)
     assert jnp.max(jnp.abs(grad_ring - grad_ref)) < 5e-5
+
+
+def test_mesh_trainer_resume_preserves_tp_sharding(tmp_path):
+    """Resuming under a mesh re-applies the live placements: restored TP
+    params keep their "model"-axis sharding instead of silently collapsing
+    to single-device."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from sdeflow_tpu.data import SwissRoll
+    from sdeflow_tpu.models import MLP
+    from sdeflow_tpu.sde import SGMSde, PluginReverseSDE
+    from sdeflow_tpu.training import Trainer
+    from sdeflow_tpu.parallel import make_mesh, shard_mlp_params
+
+    rng = jax.random.PRNGKey(3)
+    mesh = make_mesh(n_data=4, n_model=2)
+    sampler = SwissRoll()
+    path = os.path.join(str(tmp_path), "meshroll")
+
+    def mk_gen():
+        model = MLP(input_dim=2)
+        x = sampler.sample(rng, 16)
+        variables = model.init(rng, x, jnp.zeros((16,)))
+        variables = shard_mlp_params(variables, mesh)
+        sde = SGMSde.create(num_steps_forward=4)
+        return PluginReverseSDE.create(sde, model.apply, variables)
+
+    t1 = Trainer(mk_gen(), sampler, batch_size=8, print_every=2,
+                 checkpoint_path=path, mesh=mesh)
+    t1.run(jax.random.fold_in(rng, 1), 4)
+
+    t2 = Trainer(mk_gen(), sampler, batch_size=8, print_every=2,
+                 checkpoint_path=path, mesh=mesh)
+    logs = []
+    t2.log_fn = logs.append
+    state, _ = t2.run(jax.random.fold_in(rng, 1), 6, resume=True)
+    assert any("Resuming" in l for l in logs)
+    kern = state.gen_sde.a_params["params"]["dense0"]["kernel"]
+    spec = kern.sharding.spec
+    assert "model" in jax.tree_util.tree_leaves(tuple(spec)), spec
