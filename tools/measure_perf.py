@@ -173,6 +173,46 @@ def sec_unet_forward():
     return out
 
 
+def sec_unet_sampling():
+    """End-to-end flagship image generation: MSGM circulant d=256 with the
+    16x16 attention U-Net score net, 64-step norm-corrected RK4 reverse
+    solve, B=1024 — fp32 and bf16 serving modes (4 U-Net evals per step,
+    reference MSGM_higherDim.py:902-906 at the image config)."""
+    from sdeflow_tpu.models import VorticityUNet
+    from sdeflow_tpu.sde import MSGMSde, PluginReverseSDE
+    from sdeflow_tpu.ops.integrators import integrate_sde
+    from sdeflow_tpu.utils import device_seconds
+
+    b, d, steps = 1024, 256, 64
+    key = jax.random.PRNGKey(0)
+    x_init = jax.random.normal(key, (8192, d))
+    sde = MSGMSde.create(key, x_init, beta_min=0.4, beta_max=80.0,
+                         t_epsilon=4e-3, num_steps_forward=64,
+                         dense_tensor=False, norm_map="log")
+    out = {}
+    for tag, dtype in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
+        model = VorticityUNet(
+            base_channels=32, channel_mults=(1, 2, 4), num_res_blocks=2,
+            premodule="NormalizeLogRadius", in_space=16,
+            attention_resolutions=(2, 4), flatten_order="F", dtype=dtype,
+        )
+        variables = model.init(key, x_init[:8], jnp.zeros((8,)))
+        gen = PluginReverseSDE.create(sde, model.apply, variables)
+
+        def solve(k):
+            k_lat, k_solve = jax.random.split(k)
+            x0 = gen.latent_sample(k_lat, b, d)
+            return integrate_sde(gen, x0, k_solve, steps, method="rk4",
+                                 norm_correction=True)
+
+        sec = device_seconds(
+            lambda i: solve(jax.random.fold_in(key, i)).mean().astype(jnp.float32),
+            short=1,
+        )
+        out[f"unet16_msgm_sampling_{tag}_imgs_per_s"] = b / sec
+    return out
+
+
 def sec_trainer():
     """Fused lax.scan trainer steps/s: SGM (swissroll MLP, batch 256) and
     MSGM (16-step RK4 forward solve inside every loss eval). Device time per
@@ -272,6 +312,7 @@ SECTIONS = {
     "msgm_circulant": sec_msgm_circulant,
     "msgm_fwd_step": sec_msgm_fwd_step,
     "unet_forward": sec_unet_forward,
+    "unet_sampling": sec_unet_sampling,
     "trainer": sec_trainer,
     "flash_fwd": sec_flash_fwd,
     "flash_bwd": sec_flash_bwd,
