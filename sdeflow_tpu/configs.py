@@ -36,6 +36,9 @@ class TrainConfig:
     print_every: int = 10_000
     save_every: int = 100_000
     use_checkpoint: bool = False
+    # working equivalent of the reference's dormant print_RAM flag
+    # (MSGM_higherDim.py:397): log host RSS + device HBM at print cadence
+    print_ram: bool = False
     num_steps_forward: int = 16
     # U-Net extras (reference MSGM_higherDim.py:704-727)
     base_channels: int = 32

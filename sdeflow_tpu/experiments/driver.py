@@ -406,6 +406,7 @@ class ExperimentDriver:
                 steps_per_dispatch=min(tc.steps_per_dispatch,
                                        max(1, iterations // 2)),
                 mesh=self.mesh,
+                print_ram=tc.print_ram,
             )
             state, _ = trainer.run(key_train, iterations,
                                    x_test=xtest[: min(1000, xtest.shape[0])])

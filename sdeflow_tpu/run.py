@@ -43,6 +43,10 @@ def build_parser():
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree: shard score-net params over "
                         "a 'model' mesh axis of this size")
+    p.add_argument("--print-ram", action="store_true",
+                   help="log host RSS + device HBM at each print cadence "
+                        "(working version of the reference's dormant "
+                        "print_RAM flag, MSGM_higherDim.py:397)")
     p.add_argument("--delay", type=float, default=0.0,
                    help="sleep this many seconds before starting, to stagger "
                         "concurrent runs (the reference's `delayed` flag, "
@@ -90,6 +94,8 @@ def main(argv=None):
         sweep = replace(sweep, backward_method=args.backward_method)
     if args.eval_mmd:
         sweep = replace(sweep, eval_mmd=True)
+    if args.print_ram:
+        cfg = replace(cfg, train=replace(cfg.train, print_ram=True))
     cfg = replace(cfg, sweep=sweep, results_dir=args.results_dir,
                   seed=args.seed)
 

@@ -160,6 +160,7 @@ class Trainer:
         log_fn: Callable[[str], None] = print,
         steps_per_dispatch: int = 1,
         mesh=None,
+        print_ram: bool = False,
     ):
         self.optimizer = optax.adam(lr)
         self.state = TrainState(
@@ -175,6 +176,7 @@ class Trainer:
         self.log_fn = log_fn
         self.steps_per_dispatch = int(steps_per_dispatch)
         self.mesh = mesh
+        self.print_ram = print_ram
         if mesh is not None:
             # distributed training: batch sharded over the mesh's "data"
             # axis (XLA inserts the grad psum); params keep whatever
@@ -292,6 +294,10 @@ class Trainer:
                 self.history.append(
                     dict(step=i, loss=float(loss), elbo=float(elbo))
                 )
+                if self.print_ram:
+                    from sdeflow_tpu.utils.profiling import memory_report
+
+                    self.log_fn(memory_report())
             if self.checkpoint_path and (do_print or do_tag):
                 save_checkpoint(self.checkpoint_path, self.state, key, i - 1)
                 if do_tag:

@@ -132,6 +132,59 @@ def peak_flops(device=None):
     return None
 
 
+def host_rss_bytes():
+    """Resident set size of this process (reads /proc/self/status; None on
+    platforms without procfs)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) * 1024
+    except OSError:
+        return None
+    return None
+
+
+def device_memory_stats(device=None):
+    """Per-device allocator stats (`bytes_in_use`, `peak_bytes_in_use`, …)
+    where the backend exposes them; None otherwise (CPU and some remote
+    runtimes don't)."""
+    device = device or jax.devices()[0]
+    try:
+        stats = device.memory_stats()
+    except Exception:
+        return None
+    return stats or None
+
+
+def memory_report(device=None):
+    """One-line host+device memory summary.
+
+    Working TPU-native replacement for the reference's dormant `print_RAM`
+    flag (reference: MSGM_higherDim.py:397 — defined, never used): host RSS
+    from procfs plus device HBM in-use/peak where the runtime reports it.
+    """
+    parts = []
+    rss = host_rss_bytes()
+    if rss is not None:
+        parts.append(f"host rss {rss / 2**20:,.0f} MiB")
+    stats = device_memory_stats(device)
+    if stats:
+        in_use = stats.get("bytes_in_use")
+        peak = stats.get("peak_bytes_in_use")
+        limit = stats.get("bytes_limit")
+        dev = []
+        if in_use is not None:
+            dev.append(f"in_use {in_use / 2**20:,.0f} MiB")
+        if peak is not None:
+            dev.append(f"peak {peak / 2**20:,.0f} MiB")
+        if limit is not None:
+            dev.append(f"limit {limit / 2**20:,.0f} MiB")
+        if dev:
+            parts.append("device " + " ".join(dev))
+    return "RAM: " + (", ".join(parts) if parts else "unavailable")
+
+
 def attention_flops(batch, spatial, channels):
     """Matmul FLOPs of one attention block: two (T², C) contractions
     (reference thop counter, model/unet.py:252-273 counts MACs; this is

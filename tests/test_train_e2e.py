@@ -216,3 +216,24 @@ def test_compilation_cache_skips_cpu():
     from sdeflow_tpu.utils import enable_compilation_cache
 
     assert enable_compilation_cache() is None  # tests run on CPU
+
+
+def test_memory_report_and_print_ram_flag(rng):
+    """memory_report() returns a populated line on this platform, and the
+    Trainer's print_ram knob (the reference's dormant print_RAM flag,
+    MSGM_higherDim.py:397) emits it at the print cadence."""
+    from sdeflow_tpu.utils import memory_report, host_rss_bytes
+
+    assert host_rss_bytes() > 0  # procfs available on linux
+    line = memory_report()
+    assert line.startswith("RAM: ") and "host rss" in line
+
+    sampler = SwissRoll()
+    gen = _mk_sgm_gen(rng, sampler, num_steps_forward=4)
+    lines = []
+    trainer = Trainer(
+        gen, sampler, batch_size=32, print_every=4, print_ram=True,
+        steps_per_dispatch=1, log_fn=lines.append,
+    )
+    trainer.run(rng, 4)
+    assert any(l.startswith("RAM: ") for l in lines)
