@@ -1,16 +1,16 @@
 """ELBO evaluation (reference: NN.py:123-128).
 
-Single implementation of the jitted evaluation step; training's
-`make_eval_step` returns this same function.
+Single implementation of the evaluation step; training's `make_eval_step`
+wraps it in a fresh per-Trainer `jax.jit` (a module-level jit would retain
+one compiled executable per score-net closure for the life of a sweep —
+each arm builds a new model, so the global cache would only ever grow).
 """
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 
-@jax.jit
 def evaluate(gen_sde, key, x_test):
     """Mean ± stderr of the ELBO over a test batch.
 

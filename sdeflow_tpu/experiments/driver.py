@@ -168,13 +168,16 @@ class ExperimentDriver:
         has a non-trivial "model" axis (parallel/sharding.py rules)."""
         if self.mesh is None or self.mesh.shape.get("model", 1) <= 1:
             return gen
-        from sdeflow_tpu.parallel import shard_mlp_params, shard_unet_params
-
-        shard = (
-            shard_mlp_params
-            if self.cfg.train.nn_archi == "MLP"
-            else shard_unet_params
+        from sdeflow_tpu.parallel import (
+            shard_mlp_params,
+            shard_unet_params,
+            shard_unet1d_params,
         )
+
+        shard = {
+            "MLP": shard_mlp_params,
+            "Unet1D": shard_unet1d_params,
+        }.get(self.cfg.train.nn_archi, shard_unet_params)
         return gen.replace(a_params=shard(gen.a_params, self.mesh))
 
     # -- per-arm helpers ----------------------------------------------------
@@ -279,12 +282,17 @@ class ExperimentDriver:
                     real_dim = int(xtest.shape[1])
                     std_test = jnp.std(xtest, axis=0)
                     # samplers without normalization support (weather_station,
-                    # ncar, eof_pressure — which standardize internally) carry
-                    # no std, mirroring the reference's missing get_std there
-                    if normalized and getattr(sampler, "std", None) is not None:
-                        std_norm = sampler.get_std()
-                    else:
-                        std_norm = jnp.ones((real_dim,))
+                    # ncar, eof_pressure — which standardize internally) have
+                    # the inherited get_std but never computed a std,
+                    # mirroring the reference's missing get_std there; others
+                    # (e.g. GaussianCauchy) delegate get_std without a .std
+                    # attribute of their own, so call rather than probe.
+                    std_norm = jnp.ones((real_dim,))
+                    if normalized and hasattr(sampler, "get_std"):
+                        try:
+                            std_norm = sampler.get_std()
+                        except AttributeError:
+                            pass
                     if dc.datatype == "cauchy":
                         std_test_plot = jnp.ones_like(std_test) / std_norm
                     else:

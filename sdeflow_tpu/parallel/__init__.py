@@ -5,8 +5,10 @@ from sdeflow_tpu.parallel.sharding import (
     shard_params,
     shard_mlp_params,
     shard_unet_params,
+    shard_unet1d_params,
     MLP_TP_RULES,
     UNET_TP_RULES,
+    UNET1D_TP_RULES,
     sharded_kernel_mean,
     sharded_mmd,
     parallel_sample,
@@ -23,8 +25,10 @@ __all__ = [
     "shard_params",
     "shard_mlp_params",
     "shard_unet_params",
+    "shard_unet1d_params",
     "MLP_TP_RULES",
     "UNET_TP_RULES",
+    "UNET1D_TP_RULES",
     "sharded_kernel_mean",
     "sharded_mmd",
     "parallel_sample",

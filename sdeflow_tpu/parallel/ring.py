@@ -33,8 +33,7 @@ def _local_ring_body(q, kv_shards, axis_name, num_devices):
     b, h, tl, ch = q.shape
     perm = [(i, (i + 1) % num_devices) for i in range(num_devices)]
 
-    def step(carry, _):
-        m, l, acc, k, v = carry
+    def accumulate(m, l, acc, k, v):
         s = jnp.einsum("bhtc,bhsc->bhts", q, k,
                        preferred_element_type=jnp.float32)
         m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
@@ -45,11 +44,16 @@ def _local_ring_body(q, kv_shards, axis_name, num_devices):
             "bhts,bhsc->bhtc", p.astype(v.dtype), v,
             preferred_element_type=jnp.float32,
         )
+        return m_new, l_new, acc_new
+
+    def step(carry, _):
+        m, l, acc, k, v = carry
+        m, l, acc = accumulate(m, l, acc, k, v)
         # rotate the KV shard to the next device; XLA overlaps this
         # ppermute with the next step's matmuls
         k = jax.lax.ppermute(k, axis_name, perm)
         v = jax.lax.ppermute(v, axis_name, perm)
-        return (m_new, l_new, acc_new, k, v), None
+        return (m, l, acc, k, v), None
 
     m0 = jnp.full((b, h, tl, 1), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((b, h, tl, 1), jnp.float32)
@@ -60,9 +64,12 @@ def _local_ring_body(q, kv_shards, axis_name, num_devices):
         jax.lax.pcast(a, (axis_name,), to="varying") for a in (m0, l0, acc0)
     )
     k0, v0 = kv_shards
-    (m, l, acc, _, _), _ = jax.lax.scan(
-        step, (m0, l0, acc0, k0, v0), None, length=num_devices
+    # N-1 (accumulate, rotate) rounds, then a final accumulate — the last
+    # KV rotation would only be discarded, so it is never issued
+    (m, l, acc, k, v), _ = jax.lax.scan(
+        step, (m0, l0, acc0, k0, v0), None, length=num_devices - 1
     )
+    _, l, acc = accumulate(m, l, acc, k, v)
     return acc / l
 
 

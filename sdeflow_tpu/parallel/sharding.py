@@ -122,6 +122,17 @@ UNET_TP_RULES = (
     (r"(out_conv|proj_out)/kernel$", _row_spec),
 )
 
+# UNet1D (models/unet1d.py): each ConvBlock1D is conv0 -> GELU -> conv1;
+# Megatron pairing within the block — conv0 column-sharded over its output
+# channels (bias sharded to match, GELU is elementwise on the sharded
+# activations), conv1 row-sharded (contracts the sharded channels, psum
+# back to the replicated stream). down/up/final/time_mlp stay replicated.
+UNET1D_TP_RULES = (
+    (r"conv0/kernel$", _col_spec),
+    (r"conv0/bias$", _col_spec),
+    (r"conv1/kernel$", _row_spec),
+)
+
 
 def shard_params(variables, mesh: Mesh, rules, *, min_sharded: int = 1):
     """General tensor-parallel placement: place every param leaf according to
@@ -180,6 +191,11 @@ def shard_mlp_params(variables, mesh: Mesh):
 def shard_unet_params(variables, mesh: Mesh):
     """Tensor-parallel placement for the ADM U-Nets (see UNET_TP_RULES)."""
     return shard_params(variables, mesh, UNET_TP_RULES, min_sharded=4)
+
+
+def shard_unet1d_params(variables, mesh: Mesh):
+    """Tensor-parallel placement for UNet1D (see UNET1D_TP_RULES)."""
+    return shard_params(variables, mesh, UNET1D_TP_RULES, min_sharded=4)
 
 
 def sharded_kernel_mean(x, y, mesh: Mesh):

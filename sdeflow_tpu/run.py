@@ -67,6 +67,15 @@ def main(argv=None):
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+        if args.dp * args.tp > 1:
+            # self-provision virtual CPU devices so --dp/--tp smoke runs
+            # work without an XLA_FLAGS incantation (same trick as
+            # __graft_entry__.dryrun_multichip; no-op if the backend is
+            # already initialized with enough devices)
+            try:
+                jax.config.update("jax_num_cpu_devices", args.dp * args.tp)
+            except RuntimeError:
+                pass
 
     from sdeflow_tpu.utils.cache import enable_compilation_cache
 

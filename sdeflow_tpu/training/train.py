@@ -134,10 +134,12 @@ def update_ema(target_params, source_params, rate=0.99):
 
 def make_eval_step():
     """Jitted ELBO evaluation: (gen_sde, key, x_test) -> (mean, stderr).
-    Single implementation lives in eval.elbo (reference: NN.py:123-128)."""
+    Single implementation lives in eval.elbo (reference: NN.py:123-128);
+    the jit is created per call site so its compilation cache is freed with
+    the owning Trainer instead of accumulating globally across sweep arms."""
     from sdeflow_tpu.eval.elbo import evaluate
 
-    return evaluate
+    return jax.jit(evaluate)
 
 
 class Trainer:

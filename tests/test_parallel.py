@@ -273,3 +273,23 @@ def test_mesh_trainer_resume_preserves_tp_sharding(tmp_path):
     kern = state.gen_sde.a_params["params"]["dense0"]["kernel"]
     spec = kern.sharding.spec
     assert "model" in jax.tree_util.tree_leaves(tuple(spec)), spec
+
+
+def test_tensor_parallel_unet1d_matches(rng):
+    """UNet1D TP rules (ConvBlock1D conv0 column / conv1 row) must leave the
+    forward bitwise-compatible with the replicated math — this is the
+    architecture the lorenz63/signal presets drive with --tp."""
+    from sdeflow_tpu.models import UNet1D
+    from sdeflow_tpu.parallel import shard_unet1d_params
+
+    model = UNet1D(input_dim=64, base_channels=8, channel_mults=(1, 2))
+    x = jax.random.normal(rng, (4, 64))
+    t = jnp.linspace(0.1, 1.0, 4)
+    variables = model.init(rng, x, t)
+    dense_out = model.apply(variables, x, t)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    sharded_vars = shard_unet1d_params(variables, mesh)
+    with jax.set_mesh(mesh):
+        sharded_out = model.apply(sharded_vars, x, t)
+    assert np.allclose(np.asarray(dense_out), np.asarray(sharded_out), atol=1e-5)

@@ -284,7 +284,7 @@ def sec_flash_fwd():
     for name, fn in ((f"flash_{tag}", qkv_attention),
                      ("dense_math", _attention_math)):
         if name == "dense_math" and tag == "xla":
-            pass  # measure dense once per run; harmless to re-measure
+            continue  # dense was already measured in the Pallas-enabled run
         sec = device_seconds(
             lambda i: fn(qkv + 1e-6 * i, 4).mean().astype(jnp.float32),
             short=2,

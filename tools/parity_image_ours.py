@@ -94,11 +94,17 @@ def main():
                 norm_correction=bool(is_msgm),
             )
         )
+        # sync via a scalar host fetch: the remote axon runtime does not
+        # reliably honor block_until_ready (see utils.profiling.device_seconds),
+        # but a host transfer always blocks until the program finished. One
+        # dispatch of one big scan, so the constant tunnel RTT is the only
+        # bias (~ms against a ~1.5 s solve); cross-checked within 5% of the
+        # slope-timed unet16_msgm_sampling rate in PERF_MEASURED.json.
         xgen = solve(state.gen_sde, x0, k_solve)
-        xgen.block_until_ready()
+        float(xgen.sum())
         t0 = time.perf_counter()
         xgen = solve(state.gen_sde, x0, k_solve)
-        xgen.block_until_ready()
+        float(xgen.sum())
         sample_s = time.perf_counter() - t0
 
         xgen_f, dropped = filter_blowups(xgen)
