@@ -38,6 +38,30 @@ from sdeflow_tpu.plotting.plots import (
 from functools import partial
 
 
+def resolve_std_norm(sampler, normalized, real_dim):
+    """Per-dimension std used to de-normalize plots.
+
+    The reference only calls get_std on loaders that actually computed one
+    (MSGM_higherDim.py:529-536); loaders without normalization support
+    (weather_station, ncar, eof_pressure — which standardize internally)
+    have no get_std at all there. Here every ArraySampler inherits get_std,
+    so gate on capability explicitly: call get_std unless the sampler is
+    using the *inherited* ArraySampler.get_std without ever having computed
+    a `.std`. Samplers that override get_std (e.g. GaussianCauchy, which
+    delegates to its inner Gaussian) are always called, and any exception a
+    working loader raises propagates — no blanket except AttributeError.
+    """
+    if normalized and hasattr(sampler, "get_std"):
+        from sdeflow_tpu.data.filebacked import ArraySampler
+
+        uses_inherited = (
+            getattr(type(sampler), "get_std", None) is ArraySampler.get_std
+        )
+        if not uses_inherited or hasattr(sampler, "std"):
+            return sampler.get_std()
+    return jnp.ones((real_dim,))
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -281,18 +305,7 @@ class ExperimentDriver:
                     xtest = sampler.sampletest(key_test, sw.num_samples)
                     real_dim = int(xtest.shape[1])
                     std_test = jnp.std(xtest, axis=0)
-                    # samplers without normalization support (weather_station,
-                    # ncar, eof_pressure — which standardize internally) have
-                    # the inherited get_std but never computed a std,
-                    # mirroring the reference's missing get_std there; others
-                    # (e.g. GaussianCauchy) delegate get_std without a .std
-                    # attribute of their own, so call rather than probe.
-                    std_norm = jnp.ones((real_dim,))
-                    if normalized and hasattr(sampler, "get_std"):
-                        try:
-                            std_norm = sampler.get_std()
-                        except AttributeError:
-                            pass
+                    std_norm = resolve_std_norm(sampler, normalized, real_dim)
                     if dc.datatype == "cauchy":
                         std_test_plot = jnp.ones_like(std_test) / std_norm
                     else:

@@ -30,7 +30,8 @@ from jax import shard_map
 from sdeflow_tpu.training.train import TrainState
 
 
-def make_parallel_train_step(optimizer, mesh: Mesh, loss="ssm"):
+def make_parallel_train_step(optimizer, mesh: Mesh, loss="ssm",
+                             ema_rate=None):
     """Data-parallel train step: state replicated, batch sharded on "data".
 
     Same math as training.make_train_step; the only difference is the
@@ -57,11 +58,19 @@ def make_parallel_train_step(optimizer, mesh: Mesh, loss="ssm"):
             grads, state.opt_state, state.gen_sde.a_params
         )
         params = optax.apply_updates(state.gen_sde.a_params, updates)
+        from sdeflow_tpu.training.train import update_ema
+
+        ema = (
+            update_ema(state.ema_params, params, ema_rate)
+            if ema_rate is not None
+            else state.ema_params
+        )
         return (
             TrainState(
                 gen_sde=state.gen_sde.replace(a_params=params),
                 opt_state=opt_state,
                 step=state.step + 1,
+                ema_params=ema,
             ),
             value,
         )
@@ -70,7 +79,7 @@ def make_parallel_train_step(optimizer, mesh: Mesh, loss="ssm"):
 
 
 def make_parallel_train_chunk(optimizer, sample_fn, batch_size, mesh: Mesh,
-                              loss="ssm"):
+                              loss="ssm", ema_rate=None):
     """Fused multi-step trainer x data parallelism: training.make_train_chunk
     with the per-step on-device batch constrained to the mesh's "data" axis
     (XLA inserts the grad psum). One scan body definition — the trainer
@@ -84,7 +93,8 @@ def make_parallel_train_chunk(optimizer, sample_fn, batch_size, mesh: Mesh,
             sample_fn(key, n), batch_sharded
         )
 
-    return make_train_chunk(optimizer, sharded_sample, batch_size, loss=loss)
+    return make_train_chunk(optimizer, sharded_sample, batch_size, loss=loss,
+                            ema_rate=ema_rate)
 
 
 def _col_spec(x):

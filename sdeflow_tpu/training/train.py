@@ -30,17 +30,23 @@ class TrainState:
     gen_sde: Any
     opt_state: Any
     step: jnp.ndarray
+    # EMA of the score-net params (None unless Trainer(ema_rate=...) is set;
+    # reference: model/nn_utils.py:117-127). Lives in the state so it is
+    # updated inside the jitted step and lands in checkpoints.
+    ema_params: Any = None
 
     @property
     def params(self):
         return self.gen_sde.a_params
 
 
-def make_train_step(optimizer, loss="ssm"):
+def make_train_step(optimizer, loss="ssm", ema_rate=None):
     """Build a jitted train step: (state, key, x) -> (state, loss).
 
     loss: "ssm" (reference's objective, MSGM_higherDim.py:807) or "dsm"
-    (SGM-only closed-form objective).
+    (SGM-only closed-form objective). ema_rate folds an EMA update of the
+    score-net params into the same program (state.ema_params must be
+    initialized — Trainer does this).
     """
 
     def loss_fn(params, gen_sde, key, x):
@@ -62,11 +68,17 @@ def make_train_step(optimizer, loss="ssm"):
             grads, state.opt_state, state.gen_sde.a_params
         )
         params = optax.apply_updates(state.gen_sde.a_params, updates)
+        ema = (
+            update_ema(state.ema_params, params, ema_rate)
+            if ema_rate is not None
+            else state.ema_params
+        )
         return (
             TrainState(
                 gen_sde=state.gen_sde.replace(a_params=params),
                 opt_state=opt_state,
                 step=state.step + 1,
+                ema_params=ema,
             ),
             value,
         )
@@ -74,7 +86,8 @@ def make_train_step(optimizer, loss="ssm"):
     return train_step
 
 
-def make_train_chunk(optimizer, sample_fn, batch_size, loss="ssm"):
+def make_train_chunk(optimizer, sample_fn, batch_size, loss="ssm",
+                     ema_rate=None):
     """Fuse MANY train steps into ONE device dispatch.
 
     TPU-native optimization with no reference counterpart: the reference
@@ -109,10 +122,16 @@ def make_train_chunk(optimizer, sample_fn, batch_size, loss="ssm"):
                 grads, st.opt_state, st.gen_sde.a_params
             )
             params = optax.apply_updates(st.gen_sde.a_params, updates)
+            ema = (
+                update_ema(st.ema_params, params, ema_rate)
+                if ema_rate is not None
+                else st.ema_params
+            )
             st = TrainState(
                 gen_sde=st.gen_sde.replace(a_params=params),
                 opt_state=opt_state,
                 step=st.step + 1,
+                ema_params=ema,
             )
             return st, value
 
@@ -163,12 +182,17 @@ class Trainer:
         steps_per_dispatch: int = 1,
         mesh=None,
         print_ram: bool = False,
+        ema_rate: Optional[float] = None,
     ):
         self.optimizer = optax.adam(lr)
+        self.ema_rate = ema_rate
         self.state = TrainState(
             gen_sde=gen_sde,
             opt_state=self.optimizer.init(gen_sde.a_params),
             step=jnp.zeros((), jnp.int32),
+            # EMA target starts at the initial params (the reference's
+            # ema(..., decay=0) bootstrap, model/nn_utils.py:117-127)
+            ema_params=gen_sde.a_params if ema_rate is not None else None,
         )
         self.sampler = sampler
         self.batch_size = batch_size
@@ -190,21 +214,31 @@ class Trainer:
             )
 
             self.train_step = make_parallel_train_step(
-                self.optimizer, mesh, loss=loss
+                self.optimizer, mesh, loss=loss, ema_rate=ema_rate
             )
             if self.steps_per_dispatch > 1:
                 self.train_chunk = make_parallel_train_chunk(
                     self.optimizer, sampler.sample, batch_size, mesh,
-                    loss=loss,
+                    loss=loss, ema_rate=ema_rate,
                 )
         else:
-            self.train_step = make_train_step(self.optimizer, loss=loss)
+            self.train_step = make_train_step(self.optimizer, loss=loss,
+                                              ema_rate=ema_rate)
             if self.steps_per_dispatch > 1:
                 self.train_chunk = make_train_chunk(
-                    self.optimizer, sampler.sample, batch_size, loss=loss
+                    self.optimizer, sampler.sample, batch_size, loss=loss,
+                    ema_rate=ema_rate,
                 )
         self.eval_step = make_eval_step()
         self.history = []
+
+    @property
+    def ema_gen_sde(self):
+        """The generative SDE with the EMA score-net params swapped in —
+        use for eval/sampling when training with Trainer(ema_rate=...)."""
+        if self.state.ema_params is None:
+            raise ValueError("Trainer was built without ema_rate")
+        return self.state.gen_sde.replace(a_params=self.state.ema_params)
 
     def run(self, key, iterations, x_test=None, resume=True):
         from sdeflow_tpu.training.checkpoint import (

@@ -290,3 +290,50 @@ def test_driver_mesh_dp_tp_sweep(rng, tmp_path, monkeypatch):
     results = driver.run(jax.random.PRNGKey(0))
     assert results["mmd_sgm"][0, 0, 0, 0, 0] > 0
     assert results["mmd_msgm"][0, 0, 0, 0, 0] > 0
+
+
+def test_resolve_std_norm_capability_gate():
+    """Inherited-get_std loaders without a computed std fall back to ones;
+    overriding loaders are called; a genuine bug inside a working get_std
+    propagates instead of being swallowed (round-2 review item)."""
+    import jax.numpy as jnp
+
+    from sdeflow_tpu.data.filebacked import ArraySampler
+    from sdeflow_tpu.experiments.driver import resolve_std_norm
+
+    class NoStd(ArraySampler):  # weather_station-style: never sets .std
+        def __init__(self):
+            pass
+
+    assert np.allclose(resolve_std_norm(NoStd(), True, 3), np.ones(3))
+
+    class WithStd(ArraySampler):
+        def __init__(self):
+            self.std = jnp.full((3,), 2.0)
+
+    assert np.allclose(resolve_std_norm(WithStd(), True, 3), 2.0)
+    # normalized=False never consults the sampler
+    assert np.allclose(resolve_std_norm(WithStd(), False, 3), np.ones(3))
+
+    class Delegating:  # GaussianCauchy-style override, no own .std
+        def get_std(self):
+            return jnp.full((3,), 5.0)
+
+    assert np.allclose(resolve_std_norm(Delegating(), True, 3), 5.0)
+
+    class BuggyOverride:
+        def get_std(self):
+            return self.missing_attr  # unrelated internal bug
+
+    with pytest.raises(AttributeError):
+        resolve_std_norm(BuggyOverride(), True, 3)
+
+    class BuggyWithStd(ArraySampler):  # has std, but get_std overridden buggy
+        def __init__(self):
+            self.std = jnp.ones((3,))
+
+        def get_std(self):
+            raise AttributeError("internal bug")
+
+    with pytest.raises(AttributeError):
+        resolve_std_norm(BuggyWithStd(), True, 3)
