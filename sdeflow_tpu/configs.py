@@ -45,6 +45,10 @@ class TrainConfig:
     channel_mults: Tuple[int, ...] = (1, 2, 4)
     num_res_blocks: int = 2
     attention_resolutions: Tuple[int, ...] = (2, 4)
+    # attention backend for the U-Net blocks: "auto" (single-chip fused
+    # core) | "ring" (sequence-parallel over the driver mesh's "model" axis,
+    # parallel/ring.py; needs run.py --tp N / ExperimentDriver(mesh=...))
+    attention_impl: str = "auto"
     emb_dim: int = 128
     # fused multi-step training: >1 runs this many SSM+Adam steps per device
     # dispatch via lax.scan with on-device data sampling (all samplers here
@@ -274,6 +278,20 @@ def _piv_large(npixel=32):
     )
 
 
+def _grf(npixel=16):
+    """The piv16/32 image config on the synthetic SmoothedGRF stand-in —
+    same U-Net/SDE hyperparameters as _piv_large (the image-parity
+    configuration, tools/parity_image_*.py) but runnable without
+    ../MSGM-data."""
+    from dataclasses import replace as _replace
+
+    cfg = _piv_large(npixel)
+    return _replace(
+        cfg, name=f"grf{npixel}",
+        data=DataConfig(datatype="grf", dims=(npixel**2,), smoothing=2),
+    )
+
+
 def _pod():
     # reference: MSGM_higherDim.py:298-307
     return ExperimentConfig(
@@ -384,6 +402,8 @@ PRESETS = {
     "piv_small": _piv_small,
     "piv16": lambda: _piv_large(16),
     "piv32": lambda: _piv_large(32),
+    "grf16": lambda: _grf(16),
+    "grf32": lambda: _grf(32),
     "pod": _pod,
     "era5": _era5,
     "era5temp": _era5temp,

@@ -107,6 +107,11 @@ def make_sampler(cfg: ExperimentConfig, dim, key, complexity=None):
                      large_image=dc.large_image, smoothing=dc.smoothing,
                      localized=dc.localized, few_data=dc.few_data,
                      ntrain_max=ntrain_max)
+    if dt == "grf":
+        # synthetic smoothed-GRF image stand-in (no reference counterpart;
+        # the image-parity distribution, data/synthetic.py)
+        return D.SmoothedGRF(npixel=int(np.sqrt(dim)),
+                             ell=float(dc.smoothing or 2))
     if dt == "lorenz63":
         return D.Lorenz63(dim, normalized=dc.normalized,
                           few_data=dc.few_data, ntrain_max=ntrain_max)
@@ -140,9 +145,14 @@ def make_sampler(cfg: ExperimentConfig, dim, key, complexity=None):
     raise ValueError(f"Unknown datatype: {dt}")
 
 
-def make_model(cfg: ExperimentConfig, dim, premodule):
-    """Score-net factory (reference: MSGM_higherDim.py:700-727)."""
+def make_model(cfg: ExperimentConfig, dim, premodule, mesh=None):
+    """Score-net factory (reference: MSGM_higherDim.py:700-727). `mesh` is
+    only consulted for attention_impl="ring" (sequence-parallel attention
+    over the mesh's "model" axis)."""
     tc = cfg.train
+    if tc.attention_impl == "ring" and mesh is None:
+        raise ValueError('attention_impl="ring" requires a driver mesh '
+                         "(run.py --tp N)")
     if tc.nn_archi == "MLP":
         return MLP(input_dim=dim, index_dim=1, hidden_dim=128,
                    premodule=premodule)
@@ -159,6 +169,8 @@ def make_model(cfg: ExperimentConfig, dim, premodule):
             attention_resolutions=tc.attention_resolutions,
             use_checkpoint=False,
             flatten_order="F",
+            attention_impl=tc.attention_impl,
+            mesh=mesh if tc.attention_impl == "ring" else None,
         )
     if tc.nn_archi == "Unet1D":
         return UNet1D(
@@ -191,6 +203,10 @@ class ExperimentDriver:
         """Place the score net's params for tensor parallelism when the mesh
         has a non-trivial "model" axis (parallel/sharding.py rules)."""
         if self.mesh is None or self.mesh.shape.get("model", 1) <= 1:
+            return gen
+        if self.cfg.train.attention_impl == "ring":
+            # the "model" axis is the ring's sequence axis — params stay
+            # replicated (sequence parallelism, not tensor parallelism)
             return gen
         from sdeflow_tpu.parallel import (
             shard_mlp_params,
@@ -230,7 +246,7 @@ class ExperimentDriver:
         (reference: MSGM_higherDim.py:700-746)."""
         tc = self.cfg.train
         key_model, key_data, key_sde = jax.random.split(key, 3)
-        model = make_model(self.cfg, dim, premodule)
+        model = make_model(self.cfg, dim, premodule, mesh=self.mesh)
         x_probe = sampler.sample(key_data, min(num_samples_init, 64))
         variables = model.init(
             key_model, x_probe, jnp.zeros((x_probe.shape[0],))

@@ -157,11 +157,22 @@ class AttentionBlock(nn.Module):
     """Spatial self-attention over the flattened feature map
     (reference: model/unet.py:198-250). The √√c scaling is applied to q and k
     before the matmul for low-precision stability, like the reference; the
-    softmax accumulates in fp32."""
+    softmax accumulates in fp32.
+
+    attention_impl:
+      "auto" -> single-chip fused core (Pallas flash above the length
+                threshold, XLA math otherwise; ops/pallas/attention.py)
+      "ring" -> sequence-parallel exact attention with the flattened spatial
+                axis sharded over `mesh`'s `seq_axis` ring (parallel/ring.py);
+                requires mesh and T divisible by the axis size.
+    """
 
     channels: int
     num_heads: int = 1
     dtype: jnp.dtype = jnp.float32
+    attention_impl: str = "auto"
+    mesh: Optional[object] = None
+    seq_axis: str = "model"
 
     @nn.compact
     def __call__(self, x):
@@ -170,12 +181,20 @@ class AttentionBlock(nn.Module):
         t = 1
         for s in spatial:
             t *= s
-        from sdeflow_tpu.ops.pallas.attention import qkv_attention
+        from sdeflow_tpu.ops.pallas.attention import attention_core
 
         x_flat = x.reshape(b, t, c)
         h = GroupNorm32(c, name="norm")(x_flat)
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(h)  # 1×1 conv ≡ Dense over channels
-        out = qkv_attention(qkv, self.num_heads)  # fused Pallas core
+        if self.attention_impl == "ring":
+            if self.mesh is None:
+                raise ValueError('attention_impl="ring" requires a mesh')
+            from sdeflow_tpu.parallel.ring import ring_attention
+
+            out = ring_attention(qkv, self.num_heads, self.mesh,
+                                 axis=self.seq_axis)
+        else:
+            out = attention_core(qkv, self.num_heads)  # fused Pallas core
         out = nn.Dense(
             c, kernel_init=zero_init(), bias_init=zero_init(),
             dtype=self.dtype, name="proj_out"
@@ -212,6 +231,11 @@ class UNetModel(nn.Module):
     # compute dtype for convs/denses (bfloat16 feeds the MXU natively;
     # GroupNorm statistics always stay fp32, and the model output is fp32)
     dtype: jnp.dtype = jnp.float32
+    # attention backend for every AttentionBlock: "auto" (single-chip fused
+    # core) or "ring" (sequence-parallel over mesh's seq_axis)
+    attention_impl: str = "auto"
+    mesh: Optional[object] = None
+    seq_axis: str = "model"
 
     def _res_block(self, name, deterministic, **kw):
         cls = nn.remat(ResBlock) if self.use_checkpoint else ResBlock
@@ -227,7 +251,11 @@ class UNetModel(nn.Module):
 
     def _attn_block(self, ch, heads, name):
         cls = nn.remat(AttentionBlock) if self.use_checkpoint else AttentionBlock
-        return cls(channels=ch, num_heads=heads, dtype=self.dtype, name=name)
+        return cls(
+            channels=ch, num_heads=heads, dtype=self.dtype,
+            attention_impl=self.attention_impl, mesh=self.mesh,
+            seq_axis=self.seq_axis, name=name,
+        )
 
     @nn.compact
     def __call__(

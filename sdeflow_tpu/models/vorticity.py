@@ -68,6 +68,11 @@ class VorticityUNet(nn.Module):
     learn_potential: bool = False
     flatten_order: str = "C"
     dtype: jnp.dtype = jnp.float32
+    # attention backend ("auto" single-chip | "ring" sequence-parallel over
+    # mesh's seq_axis — the SURVEY §5 long-context multi-chip leg)
+    attention_impl: str = "auto"
+    mesh: Optional[object] = None
+    seq_axis: str = "model"
 
     def _core(self):
         return UNetModel(
@@ -87,6 +92,9 @@ class VorticityUNet(nn.Module):
             use_scale_shift_norm=False,
             learn_potential=self.learn_potential,
             dtype=self.dtype,
+            attention_impl=self.attention_impl,
+            mesh=self.mesh,
+            seq_axis=self.seq_axis,
             name="core",
         )
 

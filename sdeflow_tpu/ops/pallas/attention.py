@@ -28,6 +28,7 @@ from sdeflow_tpu.ops.pallas.common import (
     nn_kernels_enabled,
     pallas_enabled,
     interpret_mode,
+    flash_vjp_enabled,
 )
 
 
@@ -261,3 +262,217 @@ def _qkv_attention_jvp(num_heads, primals, tangents):
     return jax.jvp(
         lambda q: _attention_reference(q, num_heads), (qkv,), (dqkv,)
     )
+
+
+# ---------------------------------------------------------------------------
+# Reverse-mode flash pair: fwd kernel emitting softmax stats + one-pass
+# backward kernel, via custom_vjp (opt-in — see common.flash_vjp_enabled).
+
+_BWD_KV_BLOCK = 128  # smaller tiles in the backward: ~4 (T, blk) fp32
+#                      intermediates are live per head, vs 1 in the forward
+
+
+def _flash_fwd_stats_kernel(qkv_ref, o_ref, lse_ref, *, num_heads, kv_block):
+    """_flash_kernel plus the per-row log-sum-exp of the SCALED scores
+    (lse = m + log l), which the backward needs to recompute p tiles."""
+    t, c3 = qkv_ref.shape[1], qkv_ref.shape[2]
+    c = c3 // 3
+    ch = c // num_heads
+    scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(ch, jnp.float32)))
+    tq = o_ref.shape[1]
+    qi = pl.program_id(1)
+    num_kv = t // kv_block
+
+    for h in range(num_heads):
+        base = h * 3 * ch
+        q = qkv_ref[0, pl.ds(qi * tq, tq), base : base + ch] * scale
+
+        def body(ki, carry):
+            m, l, acc = carry
+            k = qkv_ref[
+                0, pl.ds(ki * kv_block, kv_block), base + ch : base + 2 * ch
+            ] * scale
+            v = qkv_ref[
+                0, pl.ds(ki * kv_block, kv_block),
+                base + 2 * ch : base + 3 * ch,
+            ]
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            corr = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l * corr + jnp.sum(p, axis=1, keepdims=True)
+            acc_new = acc * corr + jnp.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
+            return m_new, l_new, acc_new
+
+        m0 = jnp.full((tq, 1), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((tq, 1), jnp.float32)
+        acc0 = jnp.zeros((tq, ch), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
+        o_ref[0, :, h * ch : (h + 1) * ch] = (acc / l).astype(o_ref.dtype)
+        lse_ref[0, h, :] = (m + jnp.log(l))[:, 0]
+
+
+def _attention_flash_stats(qkv, num_heads):
+    b, t, c3 = qkv.shape
+    c = c3 // 3
+    kv_block = min(_FLASH_KV_BLOCK, t)
+    tq = min(_FLASH_KV_BLOCK, t)
+    return pl.pallas_call(
+        partial(_flash_fwd_stats_kernel, num_heads=num_heads,
+                kv_block=kv_block),
+        grid=(b, t // tq),
+        in_specs=[
+            pl.BlockSpec((1, t, c3), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tq, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_heads, tq), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, t, c), qkv.dtype),
+            jax.ShapeDtypeStruct((b, num_heads, t), jnp.float32),
+        ],
+        interpret=interpret_mode(),
+    )(qkv)
+
+
+def _flash_bwd_kernel(qkv_ref, do_ref, lse_ref, delta_ref, dqkv_ref, *,
+                      num_heads, kv_block):
+    """One-pass flash backward (one grid step per batch row): for each KV
+    tile, recompute the p tile from q, k and the saved lse, then form
+    dV = pᵀ·dO, dS = p∘(dO·Vᵀ − Δ), dK = dSᵀ·q·scale, and accumulate
+    dQ += dS·k·scale — the standard FlashAttention backward with Δ =
+    rowsum(dO∘O) precomputed host-side. No (T, T) matrix is ever alive;
+    per head only (T, kv_block) tiles exist."""
+    t, c3 = qkv_ref.shape[1], qkv_ref.shape[2]
+    c = c3 // 3
+    ch = c // num_heads
+    scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(ch, jnp.float32)))
+    num_kv = t // kv_block
+
+    for h in range(num_heads):
+        base = h * 3 * ch
+        q = qkv_ref[0, :, base : base + ch] * scale          # (t, ch)
+        do = do_ref[0, :, h * ch : (h + 1) * ch].astype(jnp.float32)
+        lse = lse_ref[0, h, :][:, None]                      # (t, 1)
+        delta = delta_ref[0, h, :][:, None]                  # (t, 1)
+
+        def body(ki, dq_acc):
+            k = qkv_ref[
+                0, pl.ds(ki * kv_block, kv_block), base + ch : base + 2 * ch
+            ] * scale                                        # (blk, ch)
+            v = qkv_ref[
+                0, pl.ds(ki * kv_block, kv_block),
+                base + 2 * ch : base + 3 * ch,
+            ]
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                # (t, blk)
+            p = jnp.exp(s - lse)
+            dv = jax.lax.dot_general(                        # pᵀ·dO (blk, ch)
+                p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dp = jax.lax.dot_general(                        # dO·vᵀ (t, blk)
+                do, v.astype(jnp.float32),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - delta)
+            dk = jax.lax.dot_general(                        # dSᵀ·q (blk, ch)
+                ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            dqkv_ref[
+                0, pl.ds(ki * kv_block, kv_block), base + ch : base + 2 * ch
+            ] = dk.astype(dqkv_ref.dtype)
+            dqkv_ref[
+                0, pl.ds(ki * kv_block, kv_block),
+                base + 2 * ch : base + 3 * ch,
+            ] = dv.astype(dqkv_ref.dtype)
+            return dq_acc + jnp.dot(
+                ds, k, preferred_element_type=jnp.float32
+            ) * scale
+
+        dq = jax.lax.fori_loop(
+            0, num_kv, body, jnp.zeros((t, ch), jnp.float32)
+        )
+        dqkv_ref[0, :, base : base + ch] = dq.astype(dqkv_ref.dtype)
+
+
+def _attention_flash_bwd(qkv, do, lse, delta, num_heads):
+    b, t, c3 = qkv.shape
+    c = c3 // 3
+    kv_block = min(_BWD_KV_BLOCK, t)
+    specs_btc = lambda ch3: pl.BlockSpec(  # noqa: E731
+        (1, t, ch3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    stat_spec = pl.BlockSpec((1, num_heads, t), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_flash_bwd_kernel, num_heads=num_heads, kv_block=kv_block),
+        grid=(b,),
+        in_specs=[specs_btc(c3), specs_btc(c), stat_spec, stat_spec],
+        out_specs=specs_btc(c3),
+        out_shape=jax.ShapeDtypeStruct((b, t, c3), qkv.dtype),
+        interpret=interpret_mode(),
+    )(qkv, do, lse, delta)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def flash_attention_vjp(qkv, num_heads=1):
+    """Long-sequence attention with BOTH passes as Pallas kernels
+    (reverse-mode only — forward-mode JVP raises by custom_vjp semantics;
+    the SSM loss must keep using `qkv_attention`). Opt-in via
+    SDEFLOW_FLASH_VJP=1 — see common.flash_vjp_enabled for the measured
+    dispatch decision. Same math as `_attention_math`
+    (reference model/unet.py:231-250)."""
+    out, _ = _attention_flash_stats(qkv, num_heads)
+    return out
+
+
+def _flash_vjp_fwd(qkv, num_heads):
+    out, lse = _attention_flash_stats(qkv, num_heads)
+    return out, (qkv, out, lse)
+
+
+def _flash_vjp_bwd(num_heads, res, g):
+    qkv, out, lse = res
+    b, t, c3 = qkv.shape
+    c = c3 // 3
+    ch = c // num_heads
+    # Δ_h = rowsum(dO_h ∘ O_h): tiny elementwise reduce, XLA fuses it.
+    # "bthc,bthc->bht" orders the output (b, num_heads, t) — the stats layout
+    # the backward kernel reads.
+    delta = jnp.einsum(
+        "bthc,bthc->bht",
+        g.reshape(b, t, num_heads, ch).astype(jnp.float32),
+        out.reshape(b, t, num_heads, ch).astype(jnp.float32),
+    )
+    return (_attention_flash_bwd(qkv, g, lse, delta, num_heads),)
+
+
+flash_attention_vjp.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+def attention_core(qkv, num_heads=1):
+    """The AttentionBlock entry point: the custom_jvp `qkv_attention` path
+    by default; the reverse-mode Pallas pair when SDEFLOW_FLASH_VJP=1 and
+    the sequence qualifies for flash tiling."""
+    t = qkv.shape[1]
+    if (
+        flash_vjp_enabled()
+        and t > _FLASH_SEQ_THRESHOLD
+        and t % _FLASH_KV_BLOCK == 0
+    ):
+        return flash_attention_vjp(qkv, num_heads)
+    return qkv_attention(qkv, num_heads)

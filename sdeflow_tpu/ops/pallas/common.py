@@ -52,6 +52,29 @@ def pallas_enabled() -> bool:
 
 
 _NN_KERNELS = os.environ.get("SDEFLOW_PALLAS_NN", "0") == "1"
+_FLASH_VJP = os.environ.get("SDEFLOW_FLASH_VJP", "0") == "1"
+
+
+def flash_vjp_enabled() -> bool:
+    """Opt-in gate for the reverse-mode Pallas flash-attention pair
+    (fwd kernel + one-pass backward kernel via custom_vjp).
+
+    Measured on v5e at T=4096/C=64/B=4 (tools/measure_perf.py --section
+    flash_bwd, PERF_MEASURED.json `attn_bwd_T4096_*`): grad through the
+    remat-tiled jnp flash math runs 0.685 ms vs 1.22 ms for the hand-written
+    Pallas pair (XLA fuses the recompute-and-accumulate chain better than
+    the one-pass kernel at these widths), so the default stays the
+    custom_jvp + jnp-flash-math path — which additionally supports the SSM
+    loss's forward-mode JVP. The kernels remain available (correct,
+    interpret-tested) behind SDEFLOW_FLASH_VJP=1 for reverse-mode-only
+    training at widths where the balance may flip; under it, forward-mode
+    JVP through attention raises (custom_vjp functions are reverse-mode
+    only)."""
+    if _DISABLE:
+        return False
+    if _FORCE_INTERPRET:
+        return _FLASH_VJP
+    return _FLASH_VJP and jax.default_backend() == "tpu"
 
 
 def nn_kernels_enabled() -> bool:

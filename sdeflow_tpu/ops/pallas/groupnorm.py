@@ -73,11 +73,18 @@ def _gn_kernel(x_ref, gamma_ref, beta_ref, gmap_ref, o_ref, *, groups, silu):
 
 
 _BATCH_BLOCK = 32
+# per-buffer VMEM budget for picking the batch tile: the kernel keeps ~6
+# fp32 (blk, S, C) intermediates alive, and Mosaic pads C to the 128-lane
+# tile — at C=32 that is 4x the logical size, which a fixed blk=32 blows
+# straight through the 16 MB scoped-vmem limit on (B=2048, S=256, C=32)
+_VMEM_PER_BUFFER = 2 << 20
 
 
 def _gn_pallas(x, gamma, beta, groups, silu):
     b, s, c = x.shape
-    blk = min(_BATCH_BLOCK, b)
+    c_padded = ((c + 127) // 128) * 128
+    fit = max(1, _VMEM_PER_BUFFER // (s * c_padded * 4))
+    blk = min(_BATCH_BLOCK, b, fit)
     gmap = (
         jnp.repeat(jnp.eye(groups, dtype=jnp.float32), c // groups, axis=0)
         if groups > 1

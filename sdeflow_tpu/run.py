@@ -43,6 +43,10 @@ def build_parser():
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree: shard score-net params over "
                         "a 'model' mesh axis of this size")
+    p.add_argument("--attention-impl", choices=["auto", "ring"], default=None,
+                   help="U-Net attention backend: 'ring' runs sequence-"
+                        "parallel ring attention over the mesh's 'model' "
+                        "axis (requires --tp > 1)")
     p.add_argument("--print-ram", action="store_true",
                    help="log host RSS + device HBM at each print cadence "
                         "(working version of the reference's dormant "
@@ -105,6 +109,13 @@ def main(argv=None):
         sweep = replace(sweep, eval_mmd=True)
     if args.print_ram:
         cfg = replace(cfg, train=replace(cfg.train, print_ram=True))
+    if args.attention_impl is not None:
+        if args.attention_impl == "ring" and args.tp <= 1:
+            raise SystemExit("--attention-impl ring requires --tp > 1 "
+                             "(the ring shards the sequence over 'model')")
+        cfg = replace(
+            cfg, train=replace(cfg.train, attention_impl=args.attention_impl)
+        )
     cfg = replace(cfg, sweep=sweep, results_dir=args.results_dir,
                   seed=args.seed)
 

@@ -293,3 +293,79 @@ def test_tensor_parallel_unet1d_matches(rng):
     with jax.set_mesh(mesh):
         sharded_out = model.apply(sharded_vars, x, t)
     assert np.allclose(np.asarray(dense_out), np.asarray(sharded_out), atol=1e-5)
+
+
+def test_ring_attention_unet_model_parity():
+    """A full VorticityUNet built with attention_impl="ring" (sequence
+    sharded over the mesh's "model" axis inside every AttentionBlock)
+    matches the replicated "auto" model: same init, same forward, same
+    grad, and the SSM loss (forward-mode JVP through the ring's ppermutes)
+    agrees — the round-2 review's reachability requirement."""
+    from sdeflow_tpu.models import VorticityUNet
+    from sdeflow_tpu.sde import SGMSde, PluginReverseSDE
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    key = jax.random.PRNGKey(11)
+    kw = dict(base_channels=8, channel_mults=(1, 2), num_res_blocks=1,
+              in_space=8, attention_resolutions=(1, 2), flatten_order="F")
+    ring_net = VorticityUNet(attention_impl="ring", mesh=mesh, **kw)
+    auto_net = VorticityUNet(**kw)
+
+    x = jax.random.normal(key, (8, 64))
+    t = jax.random.uniform(jax.random.fold_in(key, 1), (8,))
+    v_ring = ring_net.init(key, x, t)
+    v_auto = auto_net.init(key, x, t)
+    # identical parameter trees (the impl switch adds no params)
+    for a, b in zip(jax.tree_util.tree_leaves(v_ring),
+                    jax.tree_util.tree_leaves(v_auto)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    y_ring = ring_net.apply(v_ring, x, t)
+    y_auto = auto_net.apply(v_auto, x, t)
+    np.testing.assert_allclose(np.asarray(y_ring), np.asarray(y_auto),
+                               atol=2e-5)
+
+    g = jax.random.normal(jax.random.fold_in(key, 2), y_auto.shape)
+    gr = jax.grad(lambda v: jnp.vdot(ring_net.apply(v, x, t), g))(v_ring)
+    ga = jax.grad(lambda v: jnp.vdot(auto_net.apply(v, x, t), g))(v_auto)
+    for a, b in zip(jax.tree_util.tree_leaves(gr),
+                    jax.tree_util.tree_leaves(ga)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+    # the training objective itself (Hutchinson fwd-JVP) through the ring
+    sde = SGMSde.create(num_steps_forward=8)
+    gen_ring = PluginReverseSDE.create(sde, ring_net.apply, v_ring)
+    gen_auto = PluginReverseSDE.create(sde, auto_net.apply, v_auto)
+    k_loss = jax.random.fold_in(key, 3)
+    l_ring = gen_ring.ssm(k_loss, x)
+    l_auto = gen_auto.ssm(k_loss, x)
+    np.testing.assert_allclose(np.asarray(l_ring), np.asarray(l_auto),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_driver_ring_attention_sweep(tmp_path, monkeypatch):
+    """run.py-reachable config: a dbg image sweep with attention_impl="ring"
+    on a (data=2, model=4) mesh trains and samples through parallel/ring.py
+    (the `--tp 4 --attention-impl ring` path)."""
+    from dataclasses import replace
+
+    from sdeflow_tpu.configs import get_preset
+    from sdeflow_tpu.experiments.driver import ExperimentDriver
+
+    monkeypatch.chdir(tmp_path)
+    cfg = get_preset("grf16_dbg")
+    cfg = replace(
+        cfg,
+        train=replace(cfg.train, attention_impl="ring", num_steps_forward=4,
+                      steps_per_dispatch=1),
+        sweep=replace(cfg.sweep, eval_mmd=True, num_samples=16,
+                      iterationss=(4,), num_stepss_backward=(4,),
+                      batch_sizes=(8,), ntrain_maxs=(np.inf,)),
+        results_dir=str(tmp_path / "results"),
+    )
+    mesh = make_mesh(n_data=2, n_model=4)
+    driver = ExperimentDriver(cfg, log_fn=lambda *_: None, make_plots=False,
+                              mesh=mesh)
+    results = driver.run(jax.random.PRNGKey(0))
+    assert np.isfinite(results["mmd_sgm"][0, 0, 0, 0, 0])
+    assert np.isfinite(results["mmd_msgm"][0, 0, 0, 0, 0])

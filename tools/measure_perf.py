@@ -185,7 +185,12 @@ def sec_unet_sampling():
 
     b, d, steps = 1024, 256, 64
     key = jax.random.PRNGKey(0)
-    x_init = jax.random.normal(key, (8192, d))
+    # fit the radial prior to actual GRF fields so the benchmarked program
+    # IS the parity configuration (tools/parity_image_ours.py), not an
+    # isotropic stand-in (round-2 advisor note)
+    from sdeflow_tpu.data import SmoothedGRF
+
+    x_init = SmoothedGRF(npixel=16).sample(key, 8192)
     sde = MSGMSde.create(key, x_init, beta_min=0.4, beta_max=80.0,
                          t_epsilon=4e-3, num_steps_forward=64,
                          dense_tensor=False, norm_map="log")
@@ -280,11 +285,15 @@ def sec_flash_fwd():
 
     qkv = jax.random.normal(jax.random.PRNGKey(0), (8, 4096, 3 * 64))
     tag = _pallas_tag()
+    existing = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            existing = json.load(f)
     out = {}
     for name, fn in ((f"flash_{tag}", qkv_attention),
                      ("dense_math", _attention_math)):
-        if name == "dense_math" and tag == "xla":
-            continue  # dense was already measured in the Pallas-enabled run
+        if name == "dense_math" and "attn_fwd_T4096_dense_math_ms" in existing:
+            continue  # already measured this baseline in a previous run
         sec = device_seconds(
             lambda i: fn(qkv + 1e-6 * i, 4).mean().astype(jnp.float32),
             short=2,
@@ -294,17 +303,121 @@ def sec_flash_fwd():
 
 
 def sec_flash_bwd():
-    """Delegates to tools/measure_flash_bwd.py's methodology."""
+    """Delegates to tools/measure_flash_bwd.py's methodology. Also measures
+    the reverse-mode Pallas pair (fwd-with-stats kernel + one-pass backward
+    kernel via custom_vjp) — the round-2 review's implement-or-reject item;
+    the dispatch decision lives in ops/pallas/common.flash_vjp_enabled."""
     from tools.measure_flash_bwd import time_grad
     from sdeflow_tpu.ops.pallas.attention import (
-        _attention_math, _attention_flash_math,
+        _attention_math, _attention_flash_math, flash_attention_vjp,
     )
+    from sdeflow_tpu.ops.pallas.common import pallas_enabled
 
     qkv = jax.random.normal(jax.random.PRNGKey(0), (4, 4096, 3 * 64))
-    return {
+    out = {
         "attn_bwd_T4096_dense_ms": time_grad(_attention_math, qkv) * 1e3,
         "attn_bwd_T4096_flash_ms": time_grad(_attention_flash_math, qkv) * 1e3,
     }
+    if pallas_enabled():
+        out["attn_bwd_T4096_pallas_vjp_ms"] = (
+            time_grad(flash_attention_vjp, qkv) * 1e3
+        )
+    return out
+
+
+def sec_unet1d():
+    """The d=1000 UNet1D lorenz63 signal config on TPU (round-2 review
+    item 4): fused-trainer steps/s (SGM + circulant MSGM SSM), reverse
+    sampling rate, and forward-pass MFU. Hyperparameters are the
+    lorenz63_unet1d preset / parity arms (MSGM_higherDim.py:186-191,
+    717-725): base 32, mults (1,2,4), 2 res blocks, emb 128, batch 32,
+    64-step norm-corrected RK4 sampling. Timing uses unit-variance synthetic
+    windows — identical shapes/program to the normalized L63 data (values
+    do not affect device time)."""
+    import optax
+
+    from sdeflow_tpu.models import UNet1D
+    from sdeflow_tpu.sde import SGMSde, MSGMSde, PluginReverseSDE
+    from sdeflow_tpu.training import TrainState
+    from sdeflow_tpu.training.train import make_train_chunk
+    from sdeflow_tpu.ops.integrators import integrate_sde
+    from sdeflow_tpu.utils import device_seconds, compiled_flops, peak_flops
+    import time
+
+    import numpy as np
+
+    d, batch = 1000, 32
+    key = jax.random.PRNGKey(0)
+    out = {}
+
+    def sample_fn(k, n):
+        return jax.random.normal(k, (n, d), dtype=jnp.float32)
+
+    def steps_per_s(chunk, state):
+        def run(n):
+            t0 = time.perf_counter()
+            np.asarray(chunk(state, key, n)[1])
+            return time.perf_counter() - t0
+
+        run(16), run(144)
+        t16 = min(run(16) for _ in range(3))
+        t144 = min(run(144) for _ in range(3))
+        return 128 / max(t144 - t16, 1e-9)
+
+    opt = optax.adam(1e-4)
+    for arm in ("sgm", "msgm"):
+        is_msgm = arm == "msgm"
+        premodule = "NormalizeLogRadius" if is_msgm else None
+        model = UNet1D(input_dim=d, base_channels=32, channel_mults=(1, 2, 4),
+                       num_res_blocks=2, premodule=premodule, emb_dim=128)
+        variables = model.init(key, jnp.zeros((8, d)), jnp.zeros((8,)))
+        if is_msgm:
+            x_init = sample_fn(key, 4096)
+            sde = MSGMSde.create(key, x_init, beta_min=0.1, beta_max=20.0,
+                                 t_epsilon=1e-3, num_steps_forward=16,
+                                 dense_tensor=False, norm_map="log")
+        else:
+            sde = SGMSde.create(beta_min=0.1, beta_max=20.0, t_epsilon=1e-3,
+                                num_steps_forward=16)
+        gen = PluginReverseSDE.create(sde, model.apply, variables)
+        state = TrainState(gen_sde=gen, opt_state=opt.init(gen.a_params),
+                           step=jnp.zeros((), jnp.int32))
+        chunk = make_train_chunk(opt, sample_fn, batch)
+        out[f"unet1d_d1000_{arm}_train_steps_per_s"] = steps_per_s(chunk, state)
+
+        b_s, steps = 1024, 64
+        def solve(k):
+            k_lat, k_solve = jax.random.split(k)
+            x0 = gen.latent_sample(k_lat, b_s, d)
+            return integrate_sde(gen, x0, k_solve, steps, method="rk4",
+                                 norm_correction=is_msgm)
+
+        sec = device_seconds(
+            lambda i: solve(jax.random.fold_in(key, i)).mean().astype(
+                jnp.float32
+            ),
+            short=1,
+        )
+        out[f"unet1d_d1000_{arm}_sampling_samples_per_s"] = b_s / sec
+
+    # forward-pass MFU at the sampling batch
+    model = UNet1D(input_dim=d, base_channels=32, channel_mults=(1, 2, 4),
+                   num_res_blocks=2, emb_dim=128)
+    x = jax.random.normal(key, (1024, d))
+    t = jnp.linspace(0.01, 1.0, 1024)
+    variables = model.init(key, x[:8], t[:8])
+
+    def fwd(xi):
+        return model.apply(variables, xi, t)
+
+    sec = device_seconds(lambda i: fwd(x + 1e-6 * i).mean(), short=1)
+    out["unet1d_d1000_fwd_b1024_ms"] = sec * 1e3
+    peak = peak_flops()
+    if peak:
+        out["unet1d_d1000_fwd_b1024_mfu"] = (
+            compiled_flops(jax.jit(fwd), x) / sec / peak
+        )
+    return out
 
 
 SECTIONS = {
@@ -316,6 +429,7 @@ SECTIONS = {
     "trainer": sec_trainer,
     "flash_fwd": sec_flash_fwd,
     "flash_bwd": sec_flash_bwd,
+    "unet1d": sec_unet1d,
 }
 
 
