@@ -216,7 +216,22 @@ def _attention_flash(qkv, num_heads):
 def _attention_pallas(qkv, num_heads):
     b, t, c3 = qkv.shape
     c = c3 // 3
-    blk = min(_BATCH_BLOCK, b)
+    # batch tile sized to VMEM: the dominant live buffers are the qkv tile,
+    # the per-head fp32 score tile (blk, T, T) (~2 alive through the
+    # softmax), and the output tile — all padded to 128 lanes. Larger tiles
+    # amortize grid-step overhead: at (B=2048, T=64, C=64) blk=128 runs the
+    # whole block in 16 grid steps instead of 128 (measured 4.4x, see
+    # tools/attn_micro.py / UNET_ROOFLINE.json).
+    pad = lambda n: ((n + 127) // 128) * 128  # noqa: E731
+    itemsize = jnp.dtype(qkv.dtype).itemsize
+    bytes_per_batch_elem = t * (
+        pad(c3) * itemsize       # qkv tile row
+        + 2 * pad(t) * 4         # score tile row (fp32, ~2 alive)
+        + pad(c) * itemsize      # out tile row
+    )
+    fit = max(1, (10 << 20) // bytes_per_batch_elem)
+    fit = 1 << (fit.bit_length() - 1)  # power of two tiles divide B evenly
+    blk = min(fit, b)
     return pl.pallas_call(
         partial(_attn_kernel, num_heads=num_heads),
         grid=(pl.cdiv(b, blk),),
