@@ -39,6 +39,11 @@ class TrainConfig:
     # working equivalent of the reference's dormant print_RAM flag
     # (MSGM_higherDim.py:397): log host RSS + device HBM at print cadence
     print_ram: bool = False
+    # EMA of the score-net params (Trainer(ema_rate=...)); None = off, the
+    # reference's behavior (its update_ema is never called,
+    # model/nn_utils.py:117-127). When set, sampling/eval use the averaged
+    # weights.
+    ema_rate: Optional[float] = None
     num_steps_forward: int = 16
     # U-Net extras (reference MSGM_higherDim.py:704-727)
     base_channels: int = 32

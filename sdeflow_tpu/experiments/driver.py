@@ -444,10 +444,14 @@ class ExperimentDriver:
                                        max(1, iterations // 2)),
                 mesh=self.mesh,
                 print_ram=tc.print_ram,
+                ema_rate=tc.ema_rate,
             )
             state, _ = trainer.run(key_train, iterations,
                                    x_test=xtest[: min(1000, xtest.shape[0])])
-            gen = state.gen_sde
+            # with TrainConfig.ema_rate set, sample/evaluate with the
+            # averaged weights (no reference counterpart — nn_utils'
+            # update_ema is dead code there, model/nn_utils.py:117-127)
+            gen = trainer.ema_gen_sde if tc.ema_rate else state.gen_sde
             if checkpoint_path:
                 delete_checkpoint(checkpoint_path)
                 self.log("Training finished successfully, checkpoint removed.")

@@ -304,15 +304,16 @@ def test_ring_attention_unet_model_parity():
     from sdeflow_tpu.models import VorticityUNet
     from sdeflow_tpu.sde import SGMSde, PluginReverseSDE
 
-    mesh = make_mesh(n_data=2, n_model=4)
+    mesh = make_mesh(n_data=1, n_model=2)  # 2 devices: keeps the compile
+    # small enough for the suite while still exercising a genuine ring
     key = jax.random.PRNGKey(11)
     kw = dict(base_channels=8, channel_mults=(1, 2), num_res_blocks=1,
               in_space=8, attention_resolutions=(1, 2), flatten_order="F")
     ring_net = VorticityUNet(attention_impl="ring", mesh=mesh, **kw)
     auto_net = VorticityUNet(**kw)
 
-    x = jax.random.normal(key, (8, 64))
-    t = jax.random.uniform(jax.random.fold_in(key, 1), (8,))
+    x = jax.random.normal(key, (4, 64))
+    t = jax.random.uniform(jax.random.fold_in(key, 1), (4,))
     v_ring = ring_net.init(key, x, t)
     v_auto = auto_net.init(key, x, t)
     # identical parameter trees (the impl switch adds no params)
@@ -356,14 +357,18 @@ def test_driver_ring_attention_sweep(tmp_path, monkeypatch):
     cfg = get_preset("grf16_dbg")
     cfg = replace(
         cfg,
+        # shrink the U-Net itself (base 8, two levels) so the sweep's jitted
+        # programs compile in seconds — attention still fires at ds=2
+        # (T=64, ring over the 2-way "model" axis)
         train=replace(cfg.train, attention_impl="ring", num_steps_forward=4,
-                      steps_per_dispatch=1),
-        sweep=replace(cfg.sweep, eval_mmd=True, num_samples=16,
-                      iterationss=(4,), num_stepss_backward=(4,),
-                      batch_sizes=(8,), ntrain_maxs=(np.inf,)),
+                      steps_per_dispatch=1, base_channels=8,
+                      channel_mults=(1, 2), num_res_blocks=1),
+        sweep=replace(cfg.sweep, eval_mmd=True, num_samples=8,
+                      iterationss=(2,), num_stepss_backward=(2,),
+                      batch_sizes=(4,), ntrain_maxs=(np.inf,)),
         results_dir=str(tmp_path / "results"),
     )
-    mesh = make_mesh(n_data=2, n_model=4)
+    mesh = make_mesh(n_data=2, n_model=2)
     driver = ExperimentDriver(cfg, log_fn=lambda *_: None, make_plots=False,
                               mesh=mesh)
     results = driver.run(jax.random.PRNGKey(0))

@@ -420,12 +420,73 @@ def sec_unet1d():
     return out
 
 
+def sec_unet_trainer():
+    """Fused-trainer throughput for the 16x16 image config (the piv16/grf16
+    preset's training regime: VorticityUNet base 32 mults (1,2,4) res 2,
+    SSM loss, batch 128, lr 1e-4; MSGM adds the 64-step circulant RK4
+    forward solve per loss eval). Completes the reference's 100k-iteration
+    image budget in minutes; the torch reference measures 3.4-4.4 s/step
+    on this config (parity_image_reference*.json)."""
+    import time
+
+    import numpy as np
+    import optax
+
+    from sdeflow_tpu.data import SmoothedGRF
+    from sdeflow_tpu.models import VorticityUNet
+    from sdeflow_tpu.sde import SGMSde, MSGMSde, PluginReverseSDE
+    from sdeflow_tpu.training import TrainState
+    from sdeflow_tpu.training.train import make_train_chunk
+
+    key = jax.random.PRNGKey(0)
+    sampler = SmoothedGRF(npixel=16)
+    batch = 128
+    x_probe = sampler.sample(key, 8)
+    opt = optax.adam(1e-4)
+    out = {}
+
+    def steps_per_s(chunk, state):
+        def run(n):
+            t0 = time.perf_counter()
+            np.asarray(chunk(state, key, n)[1])
+            return time.perf_counter() - t0
+
+        run(8), run(72)
+        t8 = min(run(8) for _ in range(3))
+        t72 = min(run(72) for _ in range(3))
+        return 64 / max(t72 - t8, 1e-9)
+
+    for arm in ("sgm", "msgm"):
+        is_msgm = arm == "msgm"
+        model = VorticityUNet(
+            base_channels=32, channel_mults=(1, 2, 4), num_res_blocks=2,
+            premodule="NormalizeLogRadius" if is_msgm else None,
+            in_space=16, attention_resolutions=(2, 4), flatten_order="F",
+        )
+        variables = model.init(key, x_probe, jnp.zeros((8,)))
+        if is_msgm:
+            x_init = sampler.sample(jax.random.fold_in(key, 1), 8192)
+            sde = MSGMSde.create(key, x_init, beta_min=0.4, beta_max=80.0,
+                                 t_epsilon=4e-3, num_steps_forward=64,
+                                 dense_tensor=False, norm_map="log")
+        else:
+            sde = SGMSde.create(beta_min=0.4, beta_max=80.0, t_epsilon=4e-3,
+                                num_steps_forward=64)
+        gen = PluginReverseSDE.create(sde, model.apply, variables)
+        state = TrainState(gen_sde=gen, opt_state=opt.init(gen.a_params),
+                           step=jnp.zeros((), jnp.int32))
+        chunk = make_train_chunk(opt, sampler.sample, batch)
+        out[f"unet16_{arm}_train_steps_per_s"] = steps_per_s(chunk, state)
+    return out
+
+
 SECTIONS = {
     "mlp_sampling": sec_mlp_sampling,
     "msgm_circulant": sec_msgm_circulant,
     "msgm_fwd_step": sec_msgm_fwd_step,
     "unet_forward": sec_unet_forward,
     "unet_sampling": sec_unet_sampling,
+    "unet_trainer": sec_unet_trainer,
     "trainer": sec_trainer,
     "flash_fwd": sec_flash_fwd,
     "flash_bwd": sec_flash_bwd,
