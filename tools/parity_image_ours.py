@@ -25,6 +25,11 @@ def main():
     ap.add_argument("--arms", default="sgm,msgm")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--steps-per-dispatch", type=int, default=1,
+                    help="fuse this many SSM+Adam steps per device dispatch "
+                         "(Trainer(steps_per_dispatch=...)) — use for "
+                         "full-budget runs where per-step dispatch over the "
+                         "remote link would dominate")
     ap.add_argument("--out", default="parity_image_ours.json")
     args = ap.parse_args()
 
@@ -81,7 +86,8 @@ def main():
                                 num_steps_forward=64)
         gen = PluginReverseSDE.create(sde, model.apply, variables)
         trainer = Trainer(gen, sampler, lr=1e-4, batch_size=args.batch,
-                          print_every=max(1, args.iters // 8))
+                          print_every=max(1, args.iters // 8),
+                          steps_per_dispatch=args.steps_per_dispatch)
         t0 = time.perf_counter()
         state, final_loss = trainer.run(jax.random.fold_in(key, 3), args.iters)
         train_s = time.perf_counter() - t0
