@@ -92,12 +92,19 @@ def unet_forward_mfu():
     def fwd(xi):
         return model.apply(variables, xi, t)
 
+    # FLOP numerator from the unfused twin (identical params/math): XLA's
+    # cost analysis cannot count inside the fused AttentionBlock custom call
+    model_unfused = model.clone(attention_impl="unfused")
+
+    def fwd_unfused(xi):
+        return model_unfused.apply(variables, xi, t)
+
     def step(i):
         # i-dependent input so iterations can't be hoisted loop-invariant
         return fwd(x + 1e-6 * i).mean().astype(jnp.float32)
 
     sec = device_seconds(step, short=1)
-    flops = compiled_flops(jax.jit(fwd), x)
+    flops = compiled_flops(jax.jit(fwd_unfused), x)
     peak = peak_flops()
     imgs_per_s = UNET_BATCH / sec
     return (flops / sec / peak if peak else None), imgs_per_s

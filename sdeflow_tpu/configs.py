@@ -50,8 +50,10 @@ class TrainConfig:
     channel_mults: Tuple[int, ...] = (1, 2, 4)
     num_res_blocks: int = 2
     attention_resolutions: Tuple[int, ...] = (2, 4)
-    # attention backend for the U-Net blocks: "auto" (single-chip fused
-    # core) | "ring" (sequence-parallel over the driver mesh's "model" axis,
+    # attention backend for the U-Net blocks: "auto" (heads==1 blocks run
+    # as ONE fused Pallas program on the no-grad TPU path,
+    # ops/pallas/attnblock.py) | "unfused" (module composition) | "ring"
+    # (sequence-parallel over the driver mesh's "model" axis,
     # parallel/ring.py; needs run.py --tp N / ExperimentDriver(mesh=...))
     attention_impl: str = "auto"
     emb_dim: int = 128

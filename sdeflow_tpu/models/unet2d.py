@@ -153,6 +153,47 @@ class ResBlock(nn.Module):
         return skip + h
 
 
+class _DenseParams(nn.Module):
+    """Param holder with nn.Dense's exact param names, shapes, dtypes and
+    initializers — created at the same scope path as the Dense it replaces,
+    so the param TREE AND INIT VALUES are identical (linen derives each
+    param's init RNG from its scope path + name). Lets the fused
+    AttentionBlock kernel consume raw weights without changing checkpoints,
+    TP sharding rules, or tests."""
+
+    in_features: int
+    features: int
+    kernel_init: object = None
+    bias_init: object = None
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            self.kernel_init or nn.initializers.lecun_normal(),
+            (self.in_features, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", self.bias_init or nn.initializers.zeros,
+            (self.features,), jnp.float32,
+        )
+        return kernel, bias
+
+
+class _GNParams(nn.Module):
+    """GroupNorm32's params (scale ones, bias zeros) as a holder."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.channels,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,),
+                          jnp.float32)
+        return scale, bias
+
+
 class AttentionBlock(nn.Module):
     """Spatial self-attention over the flattened feature map
     (reference: model/unet.py:198-250). The √√c scaling is applied to q and k
@@ -160,11 +201,18 @@ class AttentionBlock(nn.Module):
     softmax accumulates in fp32.
 
     attention_impl:
-      "auto" -> single-chip fused core (Pallas flash above the length
-                threshold, XLA math otherwise; ops/pallas/attention.py)
-      "ring" -> sequence-parallel exact attention with the flattened spatial
-                axis sharded over `mesh`'s `seq_axis` ring (parallel/ring.py);
-                requires mesh and T divisible by the axis size.
+      "auto"    -> heads==1 routes the WHOLE block (GroupNorm → qkv →
+                   core → proj → residual) through one fused Pallas
+                   program on the no-grad TPU path (ops/pallas/attnblock.py
+                   — the roofline showed ~10 XLA ops' worth of HBM round
+                   trips per block); autodiff and heads>1 use the identical
+                   composition (flash Pallas above the length threshold).
+      "unfused" -> always the module-by-module composition.
+      "ring"    -> sequence-parallel exact attention with the flattened
+                   spatial axis sharded over `mesh`'s `seq_axis` ring
+                   (parallel/ring.py); requires mesh and T divisible by the
+                   axis size.
+    All three create the identical parameter tree.
     """
 
     channels: int
@@ -184,6 +232,25 @@ class AttentionBlock(nn.Module):
         from sdeflow_tpu.ops.pallas.attention import attention_core
 
         x_flat = x.reshape(b, t, c)
+
+        if self.attention_impl == "auto" and self.num_heads == 1:
+            # fused whole-block path: raw params from path-identical holders
+            from sdeflow_tpu.ops.pallas.attnblock import fused_attention_block
+
+            groups = min(c, 32)
+            while c % groups != 0:
+                groups -= 1
+            gn_scale, gn_bias = _GNParams(c, name="norm")()
+            wqkv, bqkv = _DenseParams(c, 3 * c, name="qkv")()
+            wproj, bproj = _DenseParams(
+                c, c, kernel_init=zero_init(), bias_init=zero_init(),
+                name="proj_out",
+            )()
+            out = fused_attention_block(
+                x_flat, gn_scale, gn_bias, wqkv, bqkv, wproj, bproj, groups
+            )
+            return out.reshape(b, *spatial, c)
+
         h = GroupNorm32(c, name="norm")(x_flat)
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(h)  # 1×1 conv ≡ Dense over channels
         if self.attention_impl == "ring":

@@ -1,0 +1,167 @@
+"""Fully fused AttentionBlock kernel: GroupNorm -> qkv projection ->
+single-head attention core -> output projection -> residual, in ONE Pallas
+program per batch tile.
+
+Motivation (tools/unet_roofline.py, UNET_ROOFLINE.json): the 16x16 U-Net's
+11 attention blocks cost ~5.2 ms of the 10.97 ms bf16 forward at B=2048
+while holding ~0.3 ms of MXU work — the rest is HBM round trips between the
+~10 XLA ops per block (GN stats, affine, qkv matmul, head layouts, fp32
+softmax spill, proj, residual). Fusing the whole block keeps every
+intermediate in VMEM: one read of x, one write of the output.
+
+Scope: num_heads == 1 (every reference image config; model/unet.py:276-552
+defaults num_heads=1) and sequences that fit VMEM (T <= 256 covers all
+16x16/32x32 configs). The dispatcher falls back to the unfused module path
+otherwise. Same math as models.unet2d.AttentionBlock's composition
+(reference model/unet.py:198-250): GroupNorm32 eps 1e-5, qk pre-scaled by
+1/c^(1/4), fp32 softmax, zero-init proj.
+
+Autodiff: custom_jvp -> the identical jnp composition (`_attn_block_math`),
+so both reverse mode and the SSM loss's forward-mode JVP differentiate pure
+jnp (the package-wide dispatch policy, ops/pallas/common.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sdeflow_tpu.ops.pallas.common import pallas_enabled, interpret_mode
+from sdeflow_tpu.ops.pallas.groupnorm import EPS, _gn_math
+
+
+def _attn_block_math(x, gn_scale, gn_bias, wqkv, bqkv, wproj, bproj, groups):
+    """The unfused jnp composition (autodiff + off-TPU path). x: (B, T, C)."""
+    h = _gn_math(x, gn_scale, gn_bias, groups, False)
+    qkv = h @ wqkv.astype(h.dtype) + bqkv.astype(h.dtype)
+    c = x.shape[-1]
+    q, k, v = qkv[..., :c], qkv[..., c : 2 * c], qkv[..., 2 * c :]
+    scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(c, jnp.float32)))
+    w = jnp.einsum("btc,bsc->bts", q * scale, k * scale,
+                   preferred_element_type=jnp.float32)
+    w = jax.nn.softmax(w, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bts,bsc->btc", w, v)
+    out = out @ wproj.astype(out.dtype) + bproj.astype(out.dtype)
+    return x + out
+
+
+def _attn_block_kernel(x_ref, gn_scale_ref, gn_bias_ref, gmap_ref, wqkv_ref,
+                       bqkv_ref, wproj_ref, bproj_ref, o_ref, *, groups):
+    x = x_ref[:].astype(jnp.float32)  # (Bb, T, C)
+    bb, t, c = x.shape
+
+    # --- GroupNorm (fp32 stats, the one-hot group matmul from groupnorm.py)
+    gmap = gmap_ref[:]  # (C, G) one-hot membership
+    n = jnp.float32(t * (c // groups))
+    hp = jax.lax.Precision.HIGHEST
+
+    def bcast(vals, m):
+        return jnp.dot(vals, m, preferred_element_type=jnp.float32,
+                       precision=hp)
+
+    ch_sum = jnp.sum(x, axis=1)                      # (Bb, C)
+    mean_c = bcast(bcast(ch_sum, gmap) / n, gmap.T)  # (Bb, C)
+    xc = x - mean_c[:, None, :]
+    g_var = bcast(jnp.sum(xc * xc, axis=1), gmap) / n
+    rstd_c = bcast(jax.lax.rsqrt(g_var + EPS), gmap.T)
+    h = xc * (rstd_c * gn_scale_ref[:])[:, None, :] + gn_bias_ref[:]
+    h = h.astype(o_ref.dtype)
+
+    # --- qkv projection: (Bb, T, C) @ (C, 3C) on the MXU (M = Bb*T rows)
+    qkv = jax.lax.dot_general(
+        h, wqkv_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[:].astype(jnp.float32)
+    qkv = qkv.astype(h.dtype)
+
+    # --- single-head attention core (batched over Bb, scores in fp32)
+    scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(c, jnp.float32)))
+    q = qkv[:, :, :c] * scale
+    k = qkv[:, :, c : 2 * c] * scale
+    v = qkv[:, :, 2 * c :]
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (Bb, T, T)
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    out = jax.lax.dot_general(
+        p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (Bb, T, C) fp32
+
+    # --- output projection + residual
+    out = jax.lax.dot_general(
+        out.astype(v.dtype), wproj_ref[:],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bproj_ref[:].astype(jnp.float32)
+    o_ref[:] = (x + out).astype(o_ref.dtype)
+
+
+def _attn_block_pallas(x, gn_scale, gn_bias, wqkv, bqkv, wproj, bproj,
+                       groups):
+    b, t, c = x.shape
+    pad = lambda nn: ((nn + 127) // 128) * 128  # noqa: E731
+    itemsize = jnp.dtype(x.dtype).itemsize
+    # live per batch elem: x fp32, h, qkv, fp32 scores (~2), out fp32
+    bytes_per_elem = t * (
+        pad(c) * 4 * 2 + pad(c) * itemsize + pad(3 * c) * itemsize
+        + 2 * pad(t) * 4 + pad(c) * 4
+    )
+    fit = max(1, (10 << 20) // bytes_per_elem)
+    fit = 1 << (fit.bit_length() - 1)
+    blk = min(fit, b)
+    gmap = (
+        jnp.repeat(jnp.eye(groups, dtype=jnp.float32), c // groups, axis=0)
+        if groups > 1
+        else jnp.ones((c, 1), jnp.float32)
+    )
+    row = lambda nn: pl.BlockSpec((1, nn), lambda i: (0, 0),  # noqa: E731
+                                  memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_attn_block_kernel, groups=groups),
+        grid=(pl.cdiv(b, blk),),
+        in_specs=[
+            pl.BlockSpec((blk, t, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            row(c), row(c),
+            pl.BlockSpec((c, groups), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 3 * c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            row(3 * c),
+            pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            row(c),
+        ],
+        out_specs=pl.BlockSpec((blk, t, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
+        interpret=interpret_mode(),
+    )(x, gn_scale.reshape(1, c), gn_bias.reshape(1, c), gmap,
+      wqkv, bqkv.reshape(1, 3 * c), wproj, bproj.reshape(1, c))
+
+
+_FUSED_MAX_T = 256
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(7,))
+def fused_attention_block(x, gn_scale, gn_bias, wqkv, bqkv, wproj, bproj,
+                          groups):
+    """x: (B, T, C) -> (B, T, C); the whole heads==1 AttentionBlock.
+    Pallas on the no-grad TPU path when T fits VMEM; jnp math otherwise."""
+    if pallas_enabled() and x.shape[1] <= _FUSED_MAX_T:
+        return _attn_block_pallas(x, gn_scale, gn_bias, wqkv, bqkv, wproj,
+                                  bproj, groups)
+    return _attn_block_math(x, gn_scale, gn_bias, wqkv, bqkv, wproj, bproj,
+                            groups)
+
+
+@fused_attention_block.defjvp
+def _fused_attention_block_jvp(groups, primals, tangents):
+    return jax.jvp(
+        lambda *a: _attn_block_math(*a, groups), primals, tangents
+    )

@@ -43,10 +43,14 @@ def build_parser():
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree: shard score-net params over "
                         "a 'model' mesh axis of this size")
-    p.add_argument("--attention-impl", choices=["auto", "ring"], default=None,
-                   help="U-Net attention backend: 'ring' runs sequence-"
-                        "parallel ring attention over the mesh's 'model' "
-                        "axis (requires --tp > 1)")
+    p.add_argument("--attention-impl", choices=["auto", "unfused", "ring"],
+                   default=None,
+                   help="U-Net attention backend: 'auto' fuses the whole "
+                        "heads==1 block into one Pallas program on the "
+                        "no-grad TPU path, 'unfused' forces the module "
+                        "composition, 'ring' runs sequence-parallel ring "
+                        "attention over the mesh's 'model' axis (requires "
+                        "--tp > 1)")
     p.add_argument("--print-ram", action="store_true",
                    help="log host RSS + device HBM at each print cadence "
                         "(working version of the reference's dormant "

@@ -281,3 +281,70 @@ def test_attention_core_dispatch(rng, monkeypatch):
         with pytest.raises(TypeError):
             jax.jvp(lambda q: A.attention_core(q, 1), (qkv_long,),
                     (jnp.ones_like(qkv_long),))
+
+
+def test_fused_attention_block_param_and_output_parity(rng):
+    """attention_impl='auto' (fused whole-block) vs 'unfused' (module
+    composition): identical param trees AND init values (path-derived RNG),
+    identical outputs/grads, and the forward-mode JVP (SSM loss) works."""
+    from sdeflow_tpu.models.unet2d import AttentionBlock
+
+    c = 32
+    fused = AttentionBlock(channels=c, num_heads=1)
+    unfused = AttentionBlock(channels=c, num_heads=1,
+                             attention_impl="unfused")
+    x = jax.random.normal(rng, (2, 4, 4, c))
+    vf = fused.init(rng, x)
+    vu = unfused.init(rng, x)
+    assert jax.tree_util.tree_structure(vf) == jax.tree_util.tree_structure(vu)
+    for a, b in zip(jax.tree_util.tree_leaves(vf),
+                    jax.tree_util.tree_leaves(vu)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # perturb params away from the zero-init proj so the core actually runs
+    vf = jax.tree_util.tree_map(
+        lambda a: a + 0.05 * jnp.ones_like(a), vf
+    )
+    yf = fused.apply(vf, x)
+    yu = unfused.apply(vf, x)
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(yu), atol=2e-5)
+
+    g = jax.random.normal(jax.random.fold_in(rng, 1), yf.shape)
+    gf = jax.grad(lambda v: jnp.vdot(fused.apply(v, x), g))(vf)
+    gu = jax.grad(lambda v: jnp.vdot(unfused.apply(v, x), g))(vf)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gu)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+    v_t = jax.random.normal(jax.random.fold_in(rng, 2), x.shape)
+    _, tan = jax.jvp(lambda xi: fused.apply(vf, xi), (x,), (v_t,))
+    _, tan_u = jax.jvp(lambda xi: unfused.apply(vf, xi), (x,), (v_t,))
+    np.testing.assert_allclose(np.asarray(tan), np.asarray(tan_u),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fused_attention_block_kernel_matches_math(rng):
+    """The one-program Pallas block (interpret mode) reproduces the jnp
+    composition at both U-Net attention shapes."""
+    from sdeflow_tpu.ops.pallas.attnblock import (
+        _attn_block_math, _attn_block_pallas,
+    )
+
+    for t, c in ((64, 64), (16, 128)):
+        x = jax.random.normal(rng, (4, t, c))
+        k1, k2 = jax.random.split(jax.random.fold_in(rng, t))
+        gn_s = 1.0 + 0.1 * jax.random.normal(k1, (c,))
+        gn_b = 0.1 * jax.random.normal(k2, (c,))
+        wqkv = jax.random.normal(k1, (c, 3 * c)) / np.sqrt(c)
+        bqkv = 0.01 * jax.random.normal(k2, (3 * c,))
+        wproj = jax.random.normal(k2, (c, c)) / np.sqrt(c)
+        bproj = 0.01 * jax.random.normal(k1, (c,))
+        groups = 32
+        ref = _attn_block_math(x, gn_s, gn_b, wqkv, bqkv, wproj, bproj,
+                               groups)
+        with force_interpret():
+            out = _attn_block_pallas(x, gn_s, gn_b, wqkv, bqkv, wproj,
+                                     bproj, groups)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-5), (t, c)

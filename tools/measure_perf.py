@@ -151,6 +151,10 @@ def sec_unet_forward():
             premodule="NormalizeLogRadius", in_space=16,
             attention_resolutions=(2, 4), flatten_order="F", dtype=dtype,
         )
+        # FLOP numerator from the unfused twin: XLA's cost analysis cannot
+        # see inside the fused AttentionBlock custom call, and the param
+        # trees are identical by construction
+        model_unfused = model.clone(attention_impl="unfused")
         for b in (256, 2048):
             x = jax.random.normal(key, (b, 256))
             t = jnp.linspace(0.01, 1.0, b)
@@ -158,6 +162,9 @@ def sec_unet_forward():
 
             def fwd(xi):
                 return model.apply(variables, xi, t)
+
+            def fwd_unfused(xi):
+                return model_unfused.apply(variables, xi, t)
 
             sec = device_seconds(
                 lambda i: fwd(x + 1e-6 * i).mean().astype(jnp.float32),
@@ -168,7 +175,7 @@ def sec_unet_forward():
             peak = peak_flops()
             if peak:
                 out[f"unet16_fwd_b{b}_{tag}_mfu"] = (
-                    compiled_flops(jax.jit(fwd), x) / sec / peak
+                    compiled_flops(jax.jit(fwd_unfused), x) / sec / peak
                 )
     return out
 

@@ -95,7 +95,7 @@ def analytic_ceiling(base=32, mults=(1, 2, 4), res_blocks=2, in_space=16):
     )
 
 
-def make_fwd(dtype, attention, groupnorm, premodule):
+def make_fwd(dtype, attention, groupnorm, premodule, unfused=False):
     from sdeflow_tpu.models import VorticityUNet
 
     model = VorticityUNet(
@@ -103,6 +103,7 @@ def make_fwd(dtype, attention, groupnorm, premodule):
         premodule="NormalizeLogRadius" if premodule else None, in_space=16,
         attention_resolutions=(2, 4) if attention else (),
         flatten_order="F", dtype=dtype,
+        attention_impl="unfused" if unfused else "auto",
     )
     key = jax.random.PRNGKey(0)
     b = 2048
@@ -159,8 +160,11 @@ def main():
             key = f"{name}_{dtype_tag}{suffix}"
             out[key + "_ms"] = round(sec * 1e3, 4)
             if peak and name in ("full", "convs_only"):
+                # FLOP numerator from the unfused twin (identical params):
+                # cost analysis can't see inside the fused block custom call
+                fwd_flops, xf = make_fwd(dtype, unfused=True, **kw)
                 out[key + "_mfu"] = round(
-                    compiled_flops(jax.jit(fwd), x) / sec / peak, 4
+                    compiled_flops(jax.jit(fwd_flops), xf) / sec / peak, 4
                 )
             print(key, out[key + "_ms"], "ms", flush=True)
 
