@@ -51,6 +51,10 @@ def build_parser():
                         "composition, 'ring' runs sequence-parallel ring "
                         "attention over the mesh's 'model' axis (requires "
                         "--tp > 1)")
+    p.add_argument("--ema-rate", type=float, default=None,
+                   help="exponential-moving-average rate for the score-net "
+                        "params (e.g. 0.999); sampling/eval then use the "
+                        "averaged weights (TrainConfig.ema_rate)")
     p.add_argument("--print-ram", action="store_true",
                    help="log host RSS + device HBM at each print cadence "
                         "(working version of the reference's dormant "
@@ -113,6 +117,8 @@ def main(argv=None):
         sweep = replace(sweep, eval_mmd=True)
     if args.print_ram:
         cfg = replace(cfg, train=replace(cfg.train, print_ram=True))
+    if args.ema_rate is not None:
+        cfg = replace(cfg, train=replace(cfg.train, ema_rate=args.ema_rate))
     if args.attention_impl is not None:
         if args.attention_impl == "ring" and args.tp <= 1:
             raise SystemExit("--attention-impl ring requires --tp > 1 "

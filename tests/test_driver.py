@@ -337,3 +337,32 @@ def test_resolve_std_norm_capability_gate():
 
     with pytest.raises(AttributeError):
         resolve_std_norm(BuggyWithStd(), True, 3)
+
+
+def test_run_cli_flag_plumbing(monkeypatch, tmp_path):
+    """run.py CLI: --ema-rate / --attention-impl / --print-ram land in the
+    config; ring without --tp is rejected before any device work."""
+    import sdeflow_tpu.run as R
+
+    captured = {}
+
+    class _FakeDriver:
+        def __init__(self, cfg, make_plots=True, mesh=None):
+            captured["cfg"] = cfg
+            captured["mesh"] = mesh
+
+        def run(self, key, **kw):
+            return {}
+
+    monkeypatch.setattr("sdeflow_tpu.experiments.driver.ExperimentDriver",
+                        _FakeDriver)
+    R.main(["--preset", "swissroll_dbg", "--cpu", "--ema-rate", "0.97",
+            "--print-ram", "--no-plots",
+            "--results-dir", str(tmp_path / "r")])
+    cfg = captured["cfg"]
+    assert cfg.train.ema_rate == 0.97
+    assert cfg.train.print_ram is True
+
+    with pytest.raises(SystemExit):
+        R.main(["--preset", "grf16_dbg", "--cpu", "--attention-impl", "ring",
+                "--no-plots", "--results-dir", str(tmp_path / "r2")])
