@@ -35,6 +35,7 @@ from sdeflow_tpu.ops.integrators import (
     rk4_stratonovich_sampler,
     integrate_sde,
 )
+from sdeflow_tpu.ops.ode import integrate_ode
 
 __all__ = [
     "beta_linear",
@@ -45,4 +46,5 @@ __all__ = [
     "heun_sampler",
     "rk4_stratonovich_sampler",
     "integrate_sde",
+    "integrate_ode",
 ]

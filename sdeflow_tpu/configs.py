@@ -84,6 +84,9 @@ class SweepConfig:
     # generation integrator: "rk4" (the reference's choice,
     # MSGM_higherDim.py:903) | "heun" | "em"
     backward_method: str = "rk4"
+    # "sde" = stochastic reverse SDE (the reference's only path);
+    # "ode" = deterministic probability-flow ODE (ops/ode.py)
+    sampler: str = "sde"
 
 
 @dataclass(frozen=True)

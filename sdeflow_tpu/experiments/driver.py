@@ -66,11 +66,11 @@ def resolve_std_norm(sampler, normalized, real_dim):
     jax.jit,
     static_argnames=(
         "num_samples", "dim", "num_steps", "method", "include_t0",
-        "norm_correction",
+        "norm_correction", "sampler",
     ),
 )
 def _jit_generate(gen, key, num_samples, dim, num_steps, method, include_t0,
-                  norm_correction):
+                  norm_correction, sampler="sde"):
     """One XLA program for the whole generation (the serving module's
     sampler program with trajectory capture), cached per static config
     across the sweep's repeat runs."""
@@ -79,7 +79,7 @@ def _jit_generate(gen, key, num_samples, dim, num_steps, method, include_t0,
     fn = make_sampler_fn(
         gen, num_samples, dim, num_steps, method=method,
         norm_correction=norm_correction, keep_all=True,
-        include_t0=include_t0,
+        include_t0=include_t0, sampler=sampler,
     )
     return fn(key)
 
@@ -503,6 +503,7 @@ class ExperimentDriver:
                         num_steps_backward, sw.backward_method,
                         sw.include_t0_reverse,
                         bool(gen.base_sde.norm_correction),
+                        sampler=sw.sampler,
                     )
                     if pc.save_results:
                         np.save(name_simu + "_traj.npy", np.asarray(xs))

@@ -21,6 +21,7 @@ from sdeflow_tpu.ops.hutchinson import (
     hutchinson_div,
 )
 from sdeflow_tpu.ops.kde import gaussian_kde_logpdf, gaussian_kde_sample
+from sdeflow_tpu.ops.ode import integrate_ode, probability_flow_sampler
 
 __all__ = [
     "euler_maruyama_sampler",
@@ -41,4 +42,6 @@ __all__ = [
     "hutchinson_div",
     "gaussian_kde_logpdf",
     "gaussian_kde_sample",
+    "integrate_ode",
+    "probability_flow_sampler",
 ]

@@ -1,0 +1,100 @@
+"""Deterministic (probability-flow ODE) integrators as single `lax.scan`s.
+
+No reference counterpart: the reference samples only through the stochastic
+reverse SDE (sde_scheme.py:44-269). The probability-flow ODE (Song et al.
+2021, eq. 13) shares the SDE's marginals and gives deterministic generation
+and exact likelihoods; this framework exposes it through the same flow
+protocol as `ops.integrators`, with the drift provided by
+`PluginReverseSDE.mu_ode` (sde/reverse.py).
+
+Design mirrors `integrate_sde`: one `lax.scan` per solve, static step
+count, trajectory capture on device, optional per-sample norm
+re-projection. For MSGM the exact PF-ODE drift ½·g·a is pointwise
+orthogonal to y (G is skew-symmetric in its first two indices, so
+yᵀg(y)w = 0 for all w — reference SDEs.py:315-341), hence with an exact
+score every sample's norm is conserved; `norm_correction` projects out the
+radial component of the *learned* score's error, exactly like the SDE
+sampler's re-projection (sde_scheme.py:254-255).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from sdeflow_tpu.ops.integrators import _norm_project
+
+
+def euler_ode_step(drift, t, x, delta):
+    return x + drift(t, x) * delta
+
+
+def heun_ode_step(drift, t, x, delta):
+    k1 = drift(t, x)
+    k2 = drift(t + delta, x + k1 * delta)
+    return x + (k1 + k2) * (delta / 2)
+
+
+def rk4_ode_step(drift, t, x, delta):
+    k1 = drift(t, x)
+    k2 = drift(t + delta / 2, x + k1 * (delta / 2))
+    k3 = drift(t + delta / 2, x + k2 * (delta / 2))
+    k4 = drift(t + delta, x + k3 * delta)
+    return x + (k1 + 2 * k2 + 2 * k3 + k4) * (delta / 6)
+
+
+_ODE_STEP_FNS = {"em": euler_ode_step, "euler": euler_ode_step,
+                 "heun": heun_ode_step, "rk4": rk4_ode_step}
+
+
+def integrate_ode(
+    flow,
+    x0,
+    num_steps,
+    *,
+    method="rk4",
+    T=None,
+    norm_correction=False,
+    keep_all=False,
+    include_t0=False,
+):
+    """Integrate the reverse-time probability-flow ODE dx/ds = mu_ode(s, x)
+    for `num_steps` uniform steps in one lax.scan.
+
+    Args:
+      flow: object with `T` and `mu_ode(t, y) -> (B, d)` (PluginReverseSDE).
+      x0: (B, d) latent states (from `flow.latent_sample`).
+      num_steps: static step count.
+      method: "euler" | "heun" | "rk4" (classic deterministic schemes).
+      norm_correction: re-project to the initial norm each step (MSGM).
+      keep_all: return the (S, B, d) trajectory instead of (B, d).
+
+    Deterministic: no PRNG key — identical latents give bitwise-identical
+    samples, which is what makes ODE generation useful for encode/decode
+    round-trips and ablation-stable evals.
+    """
+    step_fn = _ODE_STEP_FNS[method]
+    x0 = jnp.asarray(x0)
+    T = flow.T if T is None else T
+    delta = jnp.asarray(T, dtype=x0.dtype) / num_steps
+    norm0 = jnp.linalg.norm(x0, axis=-1, keepdims=True) if norm_correction else None
+    drift = flow.mu_ode
+
+    def body(x, i):
+        t = i.astype(x.dtype) * delta
+        x_new = step_fn(drift, t, x, delta)
+        if norm_correction:
+            x_new = _norm_project(x_new, norm0)
+        return x_new, (x_new if keep_all else None)
+
+    x_final, traj = jax.lax.scan(body, x0, jnp.arange(num_steps))
+    if not keep_all:
+        return x_final
+    if include_t0:
+        traj = jnp.concatenate([x0[None], traj], axis=0)
+    return traj
+
+
+probability_flow_sampler = partial(integrate_ode, method="rk4")

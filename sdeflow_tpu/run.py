@@ -23,6 +23,9 @@ def build_parser():
     p.add_argument("--steps-backward", type=int, default=None)
     p.add_argument("--backward-method", choices=["rk4", "heun", "em"],
                    default=None, help="generation integrator (default rk4)")
+    p.add_argument("--sampler", choices=["sde", "ode"], default=None,
+                   help="generation path: stochastic reverse SDE (default) "
+                        "or deterministic probability-flow ODE")
     p.add_argument("--eval-mmd", action="store_true",
                    help="compute the MMD result tensors")
     p.add_argument("--no-plots", action="store_true")
@@ -113,6 +116,8 @@ def main(argv=None):
         sweep = replace(sweep, num_stepss_backward=(args.steps_backward,))
     if args.backward_method is not None:
         sweep = replace(sweep, backward_method=args.backward_method)
+    if args.sampler is not None:
+        sweep = replace(sweep, sampler=args.sampler)
     if args.eval_mmd:
         sweep = replace(sweep, eval_mmd=True)
     if args.print_ram:

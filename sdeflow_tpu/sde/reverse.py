@@ -117,6 +117,27 @@ class PluginReverseSDE:
         """σ(t)·w = √(1−λ)·g(T−t,y)·w (reference: SDEs.py:587-588)."""
         return jnp.sqrt(1.0 - lmbd) * self.base_sde.sigma_apply(self.T - t, y, w)
 
+    def mu_ode(self, t, y):
+        """Reversed-time probability-flow ODE drift (no reference
+        counterpart; Song et al. 2021 eq. 13). The forward PF-ODE sharing
+        the SDE's marginals is dy/dt = f − ½∇·Σ − ½Σ∇log p; with the
+        plugin identity g·a ≈ Σ∇log p (the λ=0 reverse drift matches
+        Anderson's, reference SDEs.py:560-561) the reversed-time drift is
+
+            ½·g·a − f + ½·∇·Σ    (evaluated at s = T − t).
+
+        For SGM (∇·Σ = 0, SDEs.py:189-190) this is exactly the reference's
+        λ=1 drift; for MSGM (∇·Σ = 2f, SDEs.py:420-421) it reduces to
+        ½·g·a — NOT the λ=1 formula, whose (1−λ) factor drops the ½∇·Σ
+        term the exact PF-ODE keeps. Integrate with `ops.ode.integrate_ode`.
+        """
+        s = self.T - t
+        return (
+            0.5 * self.ga(s, y)
+            - self.base_sde.f(s, y)
+            + 0.5 * self.base_sde.div_sigma(s, y)
+        )
+
     # -- time sampling ----------------------------------------------------------
     def sample_t(self, key, batch):
         """t ~ U(0,T], truncated below at t_epsilon (reference: SDEs.py:684-693)."""

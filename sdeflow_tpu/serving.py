@@ -20,19 +20,30 @@ import jax.numpy as jnp
 from jax import export as jax_export
 
 from sdeflow_tpu.ops.integrators import integrate_sde
+from sdeflow_tpu.ops.ode import integrate_ode
 
 
 def make_sampler_fn(gen_sde, num_samples, dim, num_steps, *, method="rk4",
                     lmbd=0.0, norm_correction=False, keep_all=False,
-                    include_t0=False):
+                    include_t0=False, sampler="sde"):
     """Close the generative program over a trained PluginReverseSDE:
     key -> (num_samples, dim) samples (or the full trajectory). This is THE
     generation program — the experiment driver jits it and the serving
-    exporter stages it, so both always run identical code."""
+    exporter stages it, so both always run identical code.
+
+    sampler: "sde" (stochastic reverse SDE, the reference's path) or "ode"
+    (deterministic probability-flow ODE, ops/ode.py — the key then only
+    seeds the latent draw)."""
 
     def sample(key):
         k_lat, k_solve = jax.random.split(key)
         x0 = gen_sde.latent_sample(k_lat, num_samples, dim)
+        if sampler == "ode":
+            return integrate_ode(
+                gen_sde, x0, num_steps, method=method,
+                norm_correction=norm_correction, keep_all=keep_all,
+                include_t0=include_t0,
+            )
         return integrate_sde(
             gen_sde, x0, k_solve, num_steps, method=method, lmbd=lmbd,
             norm_correction=norm_correction, keep_all=keep_all,
@@ -44,7 +55,7 @@ def make_sampler_fn(gen_sde, num_samples, dim, num_steps, *, method="rk4",
 
 def export_sampler(gen_sde, path, num_samples, dim, num_steps, *,
                    method="rk4", lmbd=0.0, norm_correction=False,
-                   platforms: Optional[list] = None):
+                   sampler="sde", platforms: Optional[list] = None):
     """Stage + serialize the full sampling program to `path`.
 
     platforms: lowering targets, e.g. ["tpu"], ["cpu"], or both; defaults
@@ -52,7 +63,7 @@ def export_sampler(gen_sde, path, num_samples, dim, num_steps, *,
     """
     fn = make_sampler_fn(
         gen_sde, num_samples, dim, num_steps, method=method, lmbd=lmbd,
-        norm_correction=norm_correction,
+        norm_correction=norm_correction, sampler=sampler,
     )
     # derive the raw-key layout from the configured PRNG implementation
     # (threefry: (2,) uint32; rbg/unsafe_rbg: (4,) uint32) so the artifact's
@@ -73,7 +84,7 @@ def export_sampler(gen_sde, path, num_samples, dim, num_steps, *,
         f.write(blob)
     meta = dict(
         num_samples=num_samples, dim=dim, num_steps=num_steps, method=method,
-        lmbd=lmbd, norm_correction=norm_correction,
+        lmbd=lmbd, norm_correction=norm_correction, sampler=sampler,
         platforms=list(exported.platforms),
         key_shape=list(probe.shape), key_dtype=str(probe.dtype),
         prng_impl=str(jax.config.jax_default_prng_impl),
