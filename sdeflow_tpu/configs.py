@@ -87,6 +87,11 @@ class SweepConfig:
     # "sde" = stochastic reverse SDE (the reference's only path);
     # "ode" = deterministic probability-flow ODE (ops/ode.py)
     sampler: str = "sde"
+    # Langevin corrector MCMC steps after each predictor step (Song et al.
+    # 2021 predictor–corrector; 0 = predictor-only, the reference's path)
+    # + its SNR step-size knob (ops/integrators.langevin_corrector)
+    corrector_steps: int = 0
+    snr: float = 0.16
 
 
 @dataclass(frozen=True)

@@ -66,11 +66,12 @@ def resolve_std_norm(sampler, normalized, real_dim):
     jax.jit,
     static_argnames=(
         "num_samples", "dim", "num_steps", "method", "include_t0",
-        "norm_correction", "sampler",
+        "norm_correction", "sampler", "corrector_steps", "snr",
     ),
 )
 def _jit_generate(gen, key, num_samples, dim, num_steps, method, include_t0,
-                  norm_correction, sampler="sde"):
+                  norm_correction, sampler="sde", corrector_steps=0,
+                  snr=0.16):
     """One XLA program for the whole generation (the serving module's
     sampler program with trajectory capture), cached per static config
     across the sweep's repeat runs."""
@@ -80,6 +81,7 @@ def _jit_generate(gen, key, num_samples, dim, num_steps, method, include_t0,
         gen, num_samples, dim, num_steps, method=method,
         norm_correction=norm_correction, keep_all=True,
         include_t0=include_t0, sampler=sampler,
+        corrector_steps=corrector_steps, snr=snr,
     )
     return fn(key)
 
@@ -504,6 +506,7 @@ class ExperimentDriver:
                         sw.include_t0_reverse,
                         bool(gen.base_sde.norm_correction),
                         sampler=sw.sampler,
+                        corrector_steps=sw.corrector_steps, snr=sw.snr,
                     )
                     if pc.save_results:
                         np.save(name_simu + "_traj.npy", np.asarray(xs))

@@ -95,6 +95,37 @@ def _norm_project(x, norm0):
 # -- full solves -------------------------------------------------------------
 
 
+def langevin_corrector(flow, x, key, t, num_corrector, *, snr=0.16,
+                       norm0=None):
+    """`num_corrector` preconditioned-Langevin MCMC steps targeting the
+    marginal p at the frozen (reverse) time `t`, as one inner lax.scan.
+
+    No reference counterpart (the reference samples predictor-only);
+    this is the corrector half of Song et al. 2021 predictor–corrector
+    sampling. The flow must provide `corrector_drift(t, y)` (the
+    mobility-preconditioned score Γ∇log p + ∇·Γ; PluginReverseSDE
+    implements it as g·a + ∇·Σ) and `corrector_noise(t, y, z)` (the g·z
+    action). The step size is Song's SNR heuristic adapted to the
+    preconditioning: ε = 2·(snr·‖g·z‖/‖drift‖)² from batch-mean norms, so
+    one knob (snr) works across SDE families and noise scales.
+    """
+
+    def c_body(x, j):
+        z = jax.random.normal(jax.random.fold_in(key, j), x.shape, x.dtype)
+        d = flow.corrector_drift(t, x)
+        gz = flow.corrector_noise(t, x, z)
+        n_z = jnp.mean(jnp.linalg.norm(gz.reshape(gz.shape[0], -1), axis=-1))
+        n_d = jnp.mean(jnp.linalg.norm(d.reshape(d.shape[0], -1), axis=-1))
+        eps = 2.0 * (snr * n_z / jnp.maximum(n_d, 1e-20)) ** 2
+        x_new = x + eps * d + jnp.sqrt(2.0 * eps) * gz
+        if norm0 is not None:
+            x_new = _norm_project(x_new, norm0)
+        return x_new, None
+
+    x, _ = jax.lax.scan(c_body, x, jnp.arange(num_corrector))
+    return x
+
+
 def integrate_sde(
     flow,
     x0,
@@ -107,6 +138,8 @@ def integrate_sde(
     norm_correction=False,
     keep_all=False,
     include_t0=False,
+    corrector_steps=0,
+    snr=0.16,
 ):
     """Integrate an SDE flow for `num_steps` uniform steps in one lax.scan.
 
@@ -122,6 +155,11 @@ def integrate_sde(
       norm_correction: re-project to the initial norm each step.
       keep_all: return the whole trajectory (S, B, d) instead of (B, d);
         S = num_steps (+1 if include_t0 prepends x0).
+      corrector_steps: if > 0, run that many Langevin corrector MCMC steps
+        (see `langevin_corrector`) after every predictor step — Song et al.
+        2021 predictor–corrector sampling; requires the flow to implement
+        `corrector_drift`/`corrector_noise` (PluginReverseSDE does).
+      snr: corrector signal-to-noise step-size knob.
     """
     step_fn = _resolve_step_fn(flow, method)
     x0 = jnp.asarray(x0)
@@ -138,6 +176,14 @@ def integrate_sde(
         x_new = step_fn(flow, t, x, delta, dW, lmbd)
         if norm_correction:
             x_new = _norm_project(x_new, norm0)
+        if corrector_steps:
+            # key domain disjoint from the predictor's fold_in(key, i),
+            # i ∈ [0, num_steps): offset by num_steps + per-step stride
+            k_c = jax.random.fold_in(key, num_steps + 1 + i)
+            x_new = langevin_corrector(
+                flow, x_new, k_c, t + delta, corrector_steps, snr=snr,
+                norm0=norm0,
+            )
         return x_new, (x_new if keep_all else None)
 
     x_final, traj = jax.lax.scan(body, x0, jnp.arange(num_steps))

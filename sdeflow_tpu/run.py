@@ -26,6 +26,12 @@ def build_parser():
     p.add_argument("--sampler", choices=["sde", "ode"], default=None,
                    help="generation path: stochastic reverse SDE (default) "
                         "or deterministic probability-flow ODE")
+    p.add_argument("--corrector-steps", type=int, default=None,
+                   help="Langevin corrector MCMC steps after each predictor "
+                        "step (predictor-corrector sampling; default 0)")
+    p.add_argument("--snr", type=float, default=None,
+                   help="corrector signal-to-noise step-size knob "
+                        "(default 0.16)")
     p.add_argument("--eval-mmd", action="store_true",
                    help="compute the MMD result tensors")
     p.add_argument("--no-plots", action="store_true")
@@ -118,6 +124,10 @@ def main(argv=None):
         sweep = replace(sweep, backward_method=args.backward_method)
     if args.sampler is not None:
         sweep = replace(sweep, sampler=args.sampler)
+    if args.corrector_steps is not None:
+        sweep = replace(sweep, corrector_steps=args.corrector_steps)
+    if args.snr is not None:
+        sweep = replace(sweep, snr=args.snr)
     if args.eval_mmd:
         sweep = replace(sweep, eval_mmd=True)
     if args.print_ram:

@@ -138,6 +138,30 @@ class PluginReverseSDE:
             + 0.5 * self.base_sde.div_sigma(s, y)
         )
 
+    # -- Langevin corrector (predictor–corrector sampling) ---------------------
+    def corrector_drift(self, t, y):
+        """Preconditioned Langevin drift Γ∇log p + ∇·Γ with mobility
+        Γ = Σ(s,y) = g·gᵀ, at the frozen forward time s = T − t.
+
+        No reference counterpart (the reference samples predictor-only,
+        sde_scheme.py:44-269); this is Song et al. 2021's annealed-Langevin
+        corrector generalized to state-dependent diffusion: the SSM loss
+        trains a ≈ gᵀ∇log q (SDEs.py:617-646), so g·a = Σ∇log q is the
+        mobility-preconditioned score, and adding ∇·Σ (= 0 for SGM
+        SDEs.py:189-190, = 2f for MSGM SDEs.py:420-421) makes the Langevin
+        diffusion  dx = (Γ∇log p + ∇·Γ)dh + √2·g dW  leave p_s exactly
+        invariant even for MSGM's y-dependent skew g. s is clamped below at
+        t_epsilon, matching the training-time truncation (SDEs.py:684-693).
+        """
+        s = jnp.maximum(self.T - t, self.base_sde.t_epsilon)
+        return self.ga(s, y) + self.base_sde.div_sigma(s, y)
+
+    def corrector_noise(self, t, y, z):
+        """√(2h)-scaled noise direction: the action g(s,y)·z (so the injected
+        covariance is 2h·Σ, matching `corrector_drift`'s mobility)."""
+        s = jnp.maximum(self.T - t, self.base_sde.t_epsilon)
+        return self.base_sde.sigma_apply(s, y, z)
+
     # -- time sampling ----------------------------------------------------------
     def sample_t(self, key, batch):
         """t ~ U(0,T], truncated below at t_epsilon (reference: SDEs.py:684-693)."""

@@ -25,7 +25,8 @@ from sdeflow_tpu.ops.ode import integrate_ode
 
 def make_sampler_fn(gen_sde, num_samples, dim, num_steps, *, method="rk4",
                     lmbd=0.0, norm_correction=False, keep_all=False,
-                    include_t0=False, sampler="sde"):
+                    include_t0=False, sampler="sde", corrector_steps=0,
+                    snr=0.16):
     """Close the generative program over a trained PluginReverseSDE:
     key -> (num_samples, dim) samples (or the full trajectory). This is THE
     generation program — the experiment driver jits it and the serving
@@ -33,7 +34,9 @@ def make_sampler_fn(gen_sde, num_samples, dim, num_steps, *, method="rk4",
 
     sampler: "sde" (stochastic reverse SDE, the reference's path) or "ode"
     (deterministic probability-flow ODE, ops/ode.py — the key then only
-    seeds the latent draw)."""
+    seeds the latent draw). With sampler="sde", corrector_steps > 0 adds
+    that many Langevin corrector MCMC steps after each predictor step
+    (predictor–corrector sampling, ops/integrators.langevin_corrector)."""
 
     def sample(key):
         k_lat, k_solve = jax.random.split(key)
@@ -47,7 +50,7 @@ def make_sampler_fn(gen_sde, num_samples, dim, num_steps, *, method="rk4",
         return integrate_sde(
             gen_sde, x0, k_solve, num_steps, method=method, lmbd=lmbd,
             norm_correction=norm_correction, keep_all=keep_all,
-            include_t0=include_t0,
+            include_t0=include_t0, corrector_steps=corrector_steps, snr=snr,
         )
 
     return sample
@@ -55,7 +58,8 @@ def make_sampler_fn(gen_sde, num_samples, dim, num_steps, *, method="rk4",
 
 def export_sampler(gen_sde, path, num_samples, dim, num_steps, *,
                    method="rk4", lmbd=0.0, norm_correction=False,
-                   sampler="sde", platforms: Optional[list] = None):
+                   sampler="sde", corrector_steps=0, snr=0.16,
+                   platforms: Optional[list] = None):
     """Stage + serialize the full sampling program to `path`.
 
     platforms: lowering targets, e.g. ["tpu"], ["cpu"], or both; defaults
@@ -64,6 +68,7 @@ def export_sampler(gen_sde, path, num_samples, dim, num_steps, *,
     fn = make_sampler_fn(
         gen_sde, num_samples, dim, num_steps, method=method, lmbd=lmbd,
         norm_correction=norm_correction, sampler=sampler,
+        corrector_steps=corrector_steps, snr=snr,
     )
     # derive the raw-key layout from the configured PRNG implementation
     # (threefry: (2,) uint32; rbg/unsafe_rbg: (4,) uint32) so the artifact's
@@ -85,6 +90,7 @@ def export_sampler(gen_sde, path, num_samples, dim, num_steps, *,
     meta = dict(
         num_samples=num_samples, dim=dim, num_steps=num_steps, method=method,
         lmbd=lmbd, norm_correction=norm_correction, sampler=sampler,
+        corrector_steps=corrector_steps, snr=snr,
         platforms=list(exported.platforms),
         key_shape=list(probe.shape), key_dtype=str(probe.dtype),
         prng_impl=str(jax.config.jax_default_prng_impl),
