@@ -85,7 +85,9 @@ class SweepConfig:
     # MSGM_higherDim.py:903) | "heun" | "em"
     backward_method: str = "rk4"
     # "sde" = stochastic reverse SDE (the reference's only path);
-    # "ode" = deterministic probability-flow ODE (ops/ode.py)
+    # "ode" = deterministic probability-flow ODE (ops/ode.py);
+    # "dpm" = DPM-Solver exponential integrator (ops/expint.py, SGM only;
+    #         backward_method then picks dpm1|dpm2|dpm2m, default dpm2m)
     sampler: str = "sde"
     # Langevin corrector MCMC steps after each predictor step (Song et al.
     # 2021 predictor–corrector; 0 = predictor-only, the reference's path)

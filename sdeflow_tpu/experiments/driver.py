@@ -478,6 +478,19 @@ class ExperimentDriver:
         x_train_for_mmd = sampler.sample(
             jax.random.fold_in(key_sample, 777), sw.num_samples
         )
+        # exponential integrators need the closed-form VP kernel; on mixed
+        # SGM/MSGM sweeps degrade the MSGM arms to the stochastic path
+        # (loudly) instead of crashing the sweep
+        eff_sampler, eff_method = sw.sampler, sw.backward_method
+        if eff_sampler == "dpm" and not hasattr(gen.base_sde, "mean_weight"):
+            eff_sampler = "sde"
+            if eff_method.startswith("dpm"):
+                eff_method = "rk4"
+            self.log(
+                f"sampler 'dpm' needs a closed-form forward kernel; "
+                f"{gen.base_sde.name} arm falls back to "
+                f"sampler '{eff_sampler}' / method '{eff_method}'"
+            )
         for i_steps, num_steps_backward in enumerate(sw.num_stepss_backward):
             self.log(f"Generation : num_steps_backward = {num_steps_backward}")
             fig_step = max(1, int(num_steps_backward / 8))
@@ -490,7 +503,7 @@ class ExperimentDriver:
                 name_simu = simulation_name(
                     folder_results, name_root, tc.t_eps,
                     num_steps_backward, sw.include_t0_reverse, i_run,
-                    method=sw.backward_method,
+                    method=eff_method,
                 )
                 if i_run > 0:
                     os.makedirs(os.path.join("runs", sampler.name),
@@ -502,10 +515,10 @@ class ExperimentDriver:
                 else:
                     xs = _jit_generate(
                         gen, k_run, sw.num_samples, dim,
-                        num_steps_backward, sw.backward_method,
+                        num_steps_backward, eff_method,
                         sw.include_t0_reverse,
                         bool(gen.base_sde.norm_correction),
-                        sampler=sw.sampler,
+                        sampler=eff_sampler,
                         corrector_steps=sw.corrector_steps, snr=sw.snr,
                     )
                     if pc.save_results:

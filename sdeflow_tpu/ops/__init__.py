@@ -22,6 +22,7 @@ from sdeflow_tpu.ops.hutchinson import (
 )
 from sdeflow_tpu.ops.kde import gaussian_kde_logpdf, gaussian_kde_sample
 from sdeflow_tpu.ops.ode import integrate_ode, probability_flow_sampler
+from sdeflow_tpu.ops.expint import integrate_dpm
 
 __all__ = [
     "euler_maruyama_sampler",
@@ -44,4 +45,5 @@ __all__ = [
     "gaussian_kde_sample",
     "integrate_ode",
     "probability_flow_sampler",
+    "integrate_dpm",
 ]

@@ -21,11 +21,15 @@ def build_parser():
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--num-samples", type=int, default=None)
     p.add_argument("--steps-backward", type=int, default=None)
-    p.add_argument("--backward-method", choices=["rk4", "heun", "em"],
-                   default=None, help="generation integrator (default rk4)")
-    p.add_argument("--sampler", choices=["sde", "ode"], default=None,
-                   help="generation path: stochastic reverse SDE (default) "
-                        "or deterministic probability-flow ODE")
+    p.add_argument("--backward-method",
+                   choices=["rk4", "heun", "em", "dpm1", "dpm2", "dpm2m"],
+                   default=None,
+                   help="generation integrator (default rk4; dpm* names "
+                        "apply with --sampler dpm)")
+    p.add_argument("--sampler", choices=["sde", "ode", "dpm"], default=None,
+                   help="generation path: stochastic reverse SDE (default), "
+                        "deterministic probability-flow ODE, or DPM-Solver "
+                        "exponential integrator (SGM only)")
     p.add_argument("--corrector-steps", type=int, default=None,
                    help="Langevin corrector MCMC steps after each predictor "
                         "step (predictor-corrector sampling; default 0)")

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 from jax import export as jax_export
 
+from sdeflow_tpu.ops.expint import integrate_dpm
 from sdeflow_tpu.ops.integrators import integrate_sde
 from sdeflow_tpu.ops.ode import integrate_ode
 
@@ -32,15 +33,24 @@ def make_sampler_fn(gen_sde, num_samples, dim, num_steps, *, method="rk4",
     generation program — the experiment driver jits it and the serving
     exporter stages it, so both always run identical code.
 
-    sampler: "sde" (stochastic reverse SDE, the reference's path) or "ode"
+    sampler: "sde" (stochastic reverse SDE, the reference's path), "ode"
     (deterministic probability-flow ODE, ops/ode.py — the key then only
-    seeds the latent draw). With sampler="sde", corrector_steps > 0 adds
-    that many Langevin corrector MCMC steps after each predictor step
-    (predictor–corrector sampling, ops/integrators.langevin_corrector)."""
+    seeds the latent draw), or "dpm" (DPM-Solver exponential integrators,
+    ops/expint.py, SGM only; `method` is then "dpm1"|"dpm2"|"dpm2m",
+    defaulting to "dpm2m" when a non-dpm method name is passed). With
+    sampler="sde", corrector_steps > 0 adds that many Langevin corrector
+    MCMC steps after each predictor step (predictor–corrector sampling,
+    ops/integrators.langevin_corrector)."""
 
     def sample(key):
         k_lat, k_solve = jax.random.split(key)
         x0 = gen_sde.latent_sample(k_lat, num_samples, dim)
+        if sampler == "dpm":
+            return integrate_dpm(
+                gen_sde, x0, num_steps,
+                method=method if method.startswith("dpm") else "dpm2m",
+                keep_all=keep_all, include_t0=include_t0,
+            )
         if sampler == "ode":
             return integrate_ode(
                 gen_sde, x0, num_steps, method=method,

@@ -32,13 +32,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # (sampler_kind, method, corrector_steps)
 SAMPLER_GRID = (
-    ("sde", "em", 0),    # the cheapest stochastic baseline
-    ("sde", "rk4", 0),   # the reference's choice
-    ("ode", "rk4", 0),   # deterministic PF-ODE
-    ("sde", "em", 1),    # predictor-corrector (1 Langevin step / predictor)
+    ("sde", "em", 0),     # the cheapest stochastic baseline
+    ("sde", "rk4", 0),    # the reference's choice
+    ("ode", "rk4", 0),    # deterministic PF-ODE
+    ("sde", "em", 1),     # predictor-corrector (1 Langevin step / predictor)
+    ("dpm", "dpm1", 0),   # DDIM (exponential integrator, order 1) — SGM only
+    ("dpm", "dpm2m", 0),  # DPM-Solver++ 2M — SGM only, 1 NFE/step
 )
 
-_EVALS_PER_STEP = {"em": 1, "heun": 2, "rk4": 4}
+_EVALS_PER_STEP = {"em": 1, "heun": 2, "rk4": 4,
+                   "dpm1": 1, "dpm2": 2, "dpm2m": 1}
 
 
 def main():
@@ -113,6 +116,8 @@ def main():
         k_solve = jax.random.fold_in(key, 4)
 
         for sampler_kind, method, corr in SAMPLER_GRID:
+            if sampler_kind == "dpm" and is_msgm:
+                continue  # exponential integrators need the closed-form kernel
             for num_steps in steps_list:
                 fn = jax.jit(make_sampler_fn(
                     gen, args.samples, d, num_steps, method=method,
