@@ -487,6 +487,68 @@ def sec_unet_trainer():
     return out
 
 
+def sec_dpm_sampling():
+    """Low-NFE serving with the DPM-Solver++ 2M exponential integrator
+    (ops/expint.py, SGM only): the same two SGM serving programs as the
+    headline sections, at 16 score evals instead of the reference's 512
+    (128-step RK4 x 4). Quality-vs-NFE for this sampler is measured
+    separately (ODE_STUDY_CPU.json); this section measures device
+    throughput of the compiled dpm2m programs."""
+    from sdeflow_tpu.data import SmoothedGRF
+    from sdeflow_tpu.models import MLP, VorticityUNet
+    from sdeflow_tpu.ops.expint import integrate_dpm
+    from sdeflow_tpu.sde import SGMSde, PluginReverseSDE
+    from sdeflow_tpu.utils import device_seconds
+
+    key = jax.random.PRNGKey(0)
+    out = {}
+
+    # a) d=2 MLP headline config, bf16 serving mode, 16-step dpm2m
+    n, d, steps = 10_000, 2, 16
+    model = MLP(input_dim=d, dtype=jnp.bfloat16)
+    variables = model.init(key, jnp.zeros((n, d)), jnp.zeros((n,)))
+    sde = SGMSde.create(beta_min=0.1, beta_max=20.0, num_steps_forward=16)
+    gen = PluginReverseSDE.create(sde, model.apply, variables)
+
+    def solve_mlp(k):
+        x0 = gen.latent_sample(k, n, d)
+        return integrate_dpm(gen, x0, steps, method="dpm2m")
+
+    sec = device_seconds(
+        lambda i: solve_mlp(jax.random.fold_in(key, i)).mean().astype(jnp.float32),
+        short=2,
+    )
+    out["dpm2m16_mlp_bf16_samples_per_s"] = n / sec
+
+    # b) 16x16 U-Net SGM image config, B=1024, 16-step dpm2m (vs the
+    #    64-step RK4 SDE = 256 U-Net evals in sec_unet_sampling)
+    b, d, steps = 1024, 256, 16
+    # the parity SGM image arm's SDE (tools/parity_image_ours.py)
+    x_init = SmoothedGRF(npixel=16).sample(key, 64)
+    sde = SGMSde.create(beta_min=0.1, beta_max=20.0, t_epsilon=4e-3,
+                        num_steps_forward=64)
+    for tag, dtype in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
+        model = VorticityUNet(
+            base_channels=32, channel_mults=(1, 2, 4), num_res_blocks=2,
+            in_space=16, attention_resolutions=(2, 4), flatten_order="F",
+            dtype=dtype,
+        )
+        variables = model.init(key, x_init[:8], jnp.zeros((8,)))
+        gen = PluginReverseSDE.create(sde, model.apply, variables)
+
+        def solve_img(k):
+            x0 = gen.latent_sample(k, b, d)
+            return integrate_dpm(gen, x0, steps, method="dpm2m")
+
+        sec = device_seconds(
+            lambda i: solve_img(jax.random.fold_in(key, i)).mean().astype(
+                jnp.float32),
+            short=1,
+        )
+        out[f"dpm2m16_unet16_sgm_{tag}_imgs_per_s"] = b / sec
+    return out
+
+
 SECTIONS = {
     "mlp_sampling": sec_mlp_sampling,
     "msgm_circulant": sec_msgm_circulant,
@@ -498,6 +560,7 @@ SECTIONS = {
     "flash_fwd": sec_flash_fwd,
     "flash_bwd": sec_flash_bwd,
     "unet1d": sec_unet1d,
+    "dpm_sampling": sec_dpm_sampling,
 }
 
 
