@@ -45,54 +45,96 @@ def make_sampler_fn(gen_sde, num_samples, dim, num_steps, *, method="rk4",
     def sample(key):
         k_lat, k_solve = jax.random.split(key)
         x0 = gen_sde.latent_sample(k_lat, num_samples, dim)
-        if sampler == "dpm":
-            return integrate_dpm(
-                gen_sde, x0, num_steps,
-                method=method if method.startswith("dpm") else "dpm2m",
-                keep_all=keep_all, include_t0=include_t0,
-            )
-        if sampler == "ode":
-            return integrate_ode(
-                gen_sde, x0, num_steps, method=method,
-                norm_correction=norm_correction, keep_all=keep_all,
-                include_t0=include_t0,
-            )
-        return integrate_sde(
+        return _solve_from(
             gen_sde, x0, k_solve, num_steps, method=method, lmbd=lmbd,
             norm_correction=norm_correction, keep_all=keep_all,
-            include_t0=include_t0, corrector_steps=corrector_steps, snr=snr,
+            include_t0=include_t0, sampler=sampler,
+            corrector_steps=corrector_steps, snr=snr,
         )
 
     return sample
 
 
+def _solve_from(gen_sde, x0, k_solve, num_steps, *, method, lmbd,
+                norm_correction, keep_all, include_t0, sampler,
+                corrector_steps, snr):
+    """Dispatch one reverse solve from given latents (shared by the fixed
+    and batch-polymorphic sampler programs)."""
+    if sampler == "dpm":
+        return integrate_dpm(
+            gen_sde, x0, num_steps,
+            method=method if method.startswith("dpm") else "dpm2m",
+            keep_all=keep_all, include_t0=include_t0,
+        )
+    if sampler == "ode":
+        return integrate_ode(
+            gen_sde, x0, num_steps, method=method,
+            norm_correction=norm_correction, keep_all=keep_all,
+            include_t0=include_t0,
+        )
+    return integrate_sde(
+        gen_sde, x0, k_solve, num_steps, method=method, lmbd=lmbd,
+        norm_correction=norm_correction, keep_all=keep_all,
+        include_t0=include_t0, corrector_steps=corrector_steps, snr=snr,
+    )
+
+
 def export_sampler(gen_sde, path, num_samples, dim, num_steps, *,
                    method="rk4", lmbd=0.0, norm_correction=False,
                    sampler="sde", corrector_steps=0, snr=0.16,
+                   polymorphic_batch=False,
                    platforms: Optional[list] = None):
     """Stage + serialize the full sampling program to `path`.
 
     platforms: lowering targets, e.g. ["tpu"], ["cpu"], or both; defaults
     to the current backend.
+
+    polymorphic_batch: export with a SYMBOLIC batch dimension
+    (`jax.export.symbolic_shape`): the artifact takes (raw_key,
+    template (b, dim) f32) and returns (b, dim) samples for ANY b — one
+    serialized program serves every batch size. `num_samples` then only
+    records the serving-side default. The fixed-batch artifact (default)
+    keys only on the PRNG key, as before.
     """
-    fn = make_sampler_fn(
-        gen_sde, num_samples, dim, num_steps, method=method, lmbd=lmbd,
-        norm_correction=norm_correction, sampler=sampler,
-        corrector_steps=corrector_steps, snr=snr,
-    )
     # derive the raw-key layout from the configured PRNG implementation
     # (threefry: (2,) uint32; rbg/unsafe_rbg: (4,) uint32) so the artifact's
     # input contract matches the host that exports it
     probe = jax.random.key_data(jax.random.PRNGKey(0))
     key_spec = jax.ShapeDtypeStruct(probe.shape, probe.dtype)
 
-    def fn_from_raw(raw_key):
-        return fn(jax.random.wrap_key_data(raw_key))
+    if polymorphic_batch:
+        (b,) = jax_export.symbolic_shape("b")
+        template_spec = jax.ShapeDtypeStruct((b, dim), jnp.float32)
 
-    exported = jax_export.export(
-        jax.jit(fn_from_raw),
-        platforms=platforms,
-    )(key_spec)
+        def fn_from_raw(raw_key, template):
+            key = jax.random.wrap_key_data(raw_key)
+            k_lat, k_solve = jax.random.split(key)
+            x0 = gen_sde.latent_sample(k_lat, template.shape[0], dim)
+            return _solve_from(
+                gen_sde, x0, k_solve, num_steps, method=method, lmbd=lmbd,
+                norm_correction=norm_correction, keep_all=False,
+                include_t0=False, sampler=sampler,
+                corrector_steps=corrector_steps, snr=snr,
+            )
+
+        exported = jax_export.export(
+            jax.jit(fn_from_raw),
+            platforms=platforms,
+        )(key_spec, template_spec)
+    else:
+        fn = make_sampler_fn(
+            gen_sde, num_samples, dim, num_steps, method=method, lmbd=lmbd,
+            norm_correction=norm_correction, sampler=sampler,
+            corrector_steps=corrector_steps, snr=snr,
+        )
+
+        def fn_from_raw(raw_key):
+            return fn(jax.random.wrap_key_data(raw_key))
+
+        exported = jax_export.export(
+            jax.jit(fn_from_raw),
+            platforms=platforms,
+        )(key_spec)
     blob = exported.serialize()
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     with open(path, "wb") as f:
@@ -101,6 +143,7 @@ def export_sampler(gen_sde, path, num_samples, dim, num_steps, *,
         num_samples=num_samples, dim=dim, num_steps=num_steps, method=method,
         lmbd=lmbd, norm_correction=norm_correction, sampler=sampler,
         corrector_steps=corrector_steps, snr=snr,
+        polymorphic_batch=bool(polymorphic_batch),
         platforms=list(exported.platforms),
         key_shape=list(probe.shape), key_dtype=str(probe.dtype),
         prng_impl=str(jax.config.jax_default_prng_impl),
@@ -116,6 +159,8 @@ class Sampler:
     Usage:
         s = Sampler("model.sdeflow")
         batch = s(jax.random.PRNGKey(0))
+        # batch-polymorphic artifacts additionally take a batch size:
+        batch = s(jax.random.PRNGKey(0), num_samples=4096)
     """
 
     def __init__(self, path):
@@ -128,7 +173,7 @@ class Sampler:
                 self.meta = json.load(f)
         self._call = jax.jit(self._exported.call)
 
-    def __call__(self, key):
+    def __call__(self, key, num_samples=None):
         raw = jax.random.key_data(key)
         if self.meta and list(raw.shape) != self.meta.get("key_shape", list(raw.shape)):
             raise ValueError(
@@ -136,5 +181,23 @@ class Sampler:
                 f"(prng_impl={self.meta.get('prng_impl')}); this host's key "
                 f"has shape {list(raw.shape)} — set jax_default_prng_impl to "
                 "match the exporting host"
+            )
+        poly = bool(self.meta and self.meta.get("polymorphic_batch"))
+        if poly:
+            n = num_samples or (self.meta or {}).get("num_samples")
+            if not n:
+                raise ValueError(
+                    "batch-polymorphic artifact: pass num_samples (no "
+                    "default recorded in the metadata)"
+                )
+            template = jnp.zeros((int(n), int(self.meta["dim"])), jnp.float32)
+            return self._call(raw.astype(jnp.uint32), template)
+        if num_samples is not None and self.meta and (
+            int(num_samples) != int(self.meta.get("num_samples", num_samples))
+        ):
+            raise ValueError(
+                f"fixed-batch artifact exported for num_samples="
+                f"{self.meta['num_samples']}; re-export with "
+                "polymorphic_batch=True to serve other batch sizes"
             )
         return self._call(raw.astype(jnp.uint32))

@@ -81,3 +81,55 @@ def test_export_msgm_norm_corrected_sampler(rng, tmp_path):
     r_data = np.asarray(jnp.linalg.norm(x_init, axis=1))
     # norm correction preserves the latent radial law exactly
     assert abs(np.median(r) - np.median(r_data)) < 0.3
+
+
+def test_polymorphic_batch_export(rng, tmp_path):
+    """One artifact, any batch size: the symbolic-batch program serves
+    b=64 and b=256, matches the fixed-batch artifact bitwise at its own
+    batch size, and the fixed artifact refuses other batch sizes."""
+    import pytest
+
+    gen = _mk_gen(rng)
+    fixed = str(tmp_path / "fixed.sdeflow")
+    poly = str(tmp_path / "poly.sdeflow")
+    export_sampler(gen, fixed, num_samples=64, dim=2, num_steps=8)
+    meta = export_sampler(gen, poly, num_samples=64, dim=2, num_steps=8,
+                          polymorphic_batch=True)
+    assert meta["polymorphic_batch"] is True
+
+    s_poly, s_fixed = Sampler(poly), Sampler(fixed)
+    key = jax.random.PRNGKey(11)
+    out64 = s_poly(key)  # defaults to the recorded num_samples
+    out256 = s_poly(key, num_samples=256)
+    assert out64.shape == (64, 2) and out256.shape == (256, 2)
+    assert bool(jnp.isfinite(out256).all())
+    # identical math at the exported default batch
+    np.testing.assert_array_equal(np.asarray(out64),
+                                  np.asarray(s_fixed(key)))
+    with pytest.raises(ValueError, match="polymorphic_batch=True"):
+        s_fixed(key, num_samples=256)
+
+
+def test_polymorphic_batch_msgm_and_dpm(rng, tmp_path):
+    """The symbolic batch dimension traces through the MSGM radial latent
+    prior (quantile inversion) and the dpm2m exponential integrator."""
+    from sdeflow_tpu.sde import MSGMSde
+
+    x_init = jax.random.normal(rng, (500, 4)) * 2.0
+    sde = MSGMSde.create(jax.random.fold_in(rng, 1), x_init,
+                         num_steps_forward=4, norm_map="log")
+    model = MLP(input_dim=4, premodule="NormalizeLogRadius")
+    variables = model.init(rng, x_init[:4], jnp.zeros((4,)))
+    gen_m = PluginReverseSDE.create(sde, model.apply, variables)
+    path_m = str(tmp_path / "msgm_poly.sdeflow")
+    export_sampler(gen_m, path_m, num_samples=32, dim=4, num_steps=4,
+                   norm_correction=True, polymorphic_batch=True)
+    out = Sampler(path_m)(jax.random.PRNGKey(2), num_samples=96)
+    assert out.shape == (96, 4) and bool(jnp.isfinite(out).all())
+
+    gen_s = _mk_gen(rng)
+    path_d = str(tmp_path / "dpm_poly.sdeflow")
+    export_sampler(gen_s, path_d, num_samples=32, dim=2, num_steps=8,
+                   sampler="dpm", method="dpm2m", polymorphic_batch=True)
+    out = Sampler(path_d)(jax.random.PRNGKey(3), num_samples=128)
+    assert out.shape == (128, 2) and bool(jnp.isfinite(out).all())
