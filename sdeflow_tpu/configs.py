@@ -29,7 +29,7 @@ class TrainConfig:
     norm_sampler: str = "ecdf"
     norm_map: Optional[str] = "log"
     dense_tensor: bool = True
-    nn_archi: str = "MLP"  # MLP | Unet | Unet1D
+    nn_archi: str = "MLP"  # MLP | Unet | Unet1D | DiT
     num_samples_init_max: int = 100_000
     vtype: str = "rademacher"
     lr: float = 1e-3
@@ -57,6 +57,12 @@ class TrainConfig:
     # parallel/ring.py; needs run.py --tp N / ExperimentDriver(mesh=...))
     attention_impl: str = "auto"
     emb_dim: int = 128
+    # DiT extras (models/dit.py — no reference counterpart; MXU-native
+    # transformer score net for large-d 1D configs)
+    dit_patch: int = 8
+    dit_width: int = 256
+    dit_depth: int = 6
+    dit_heads: int = 8
     # fused multi-step training: >1 runs this many SSM+Adam steps per device
     # dispatch via lax.scan with on-device data sampling (all samplers here
     # are jittable); amortizes host dispatch latency on remote accelerators

@@ -183,6 +183,17 @@ def make_model(cfg: ExperimentConfig, dim, premodule, mesh=None):
             premodule=premodule,
             emb_dim=tc.emb_dim,
         )
+    if tc.nn_archi == "DiT":
+        from sdeflow_tpu.models import DiT1D
+
+        return DiT1D(
+            input_dim=dim,
+            patch=tc.dit_patch,
+            width=tc.dit_width,
+            depth=tc.dit_depth,
+            heads=tc.dit_heads,
+            premodule=premodule,
+        )
     raise ValueError(f"Unknown NN archi: {tc.nn_archi}")
 
 
@@ -211,6 +222,7 @@ class ExperimentDriver:
             # replicated (sequence parallelism, not tensor parallelism)
             return gen
         from sdeflow_tpu.parallel import (
+            shard_dit_params,
             shard_mlp_params,
             shard_unet_params,
             shard_unet1d_params,
@@ -219,6 +231,7 @@ class ExperimentDriver:
         shard = {
             "MLP": shard_mlp_params,
             "Unet1D": shard_unet1d_params,
+            "DiT": shard_dit_params,
         }.get(self.cfg.train.nn_archi, shard_unet_params)
         return gen.replace(a_params=shard(gen.a_params, self.mesh))
 

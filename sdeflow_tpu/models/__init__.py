@@ -4,6 +4,7 @@ from sdeflow_tpu.models.common import (
     GroupNorm32,
     zero_init,
 )
+from sdeflow_tpu.models.dit import DiT1D
 from sdeflow_tpu.models.mlp import MLP
 from sdeflow_tpu.models.unet1d import UNet1D
 from sdeflow_tpu.models.unet2d import UNetModel, ConditionalModel
@@ -14,6 +15,7 @@ __all__ = [
     "timestep_embedding",
     "GroupNorm32",
     "zero_init",
+    "DiT1D",
     "MLP",
     "UNet1D",
     "UNetModel",

@@ -143,6 +143,18 @@ UNET1D_TP_RULES = (
     (r"conv1/kernel$", _row_spec),
 )
 
+# DiT transformer (models/dit.py): Megatron pairing inside each block —
+# qkv and mlp_in column-sharded (per-head attention math and the GELU run
+# on the sharded hidden axis), proj_out and mlp_out row-sharded (one psum
+# each back to the replicated residual stream). The adaLN modulation
+# projections (ada_mod/ada_out) stay replicated: their outputs multiply
+# the replicated stream elementwise. patch_embed/head_out are thin I/O.
+DIT_TP_RULES = (
+    (r"(qkv|mlp_in)/kernel$", _col_spec),
+    (r"(qkv|mlp_in)/bias$", _col_spec),
+    (r"(proj_out|mlp_out)/kernel$", _row_spec),
+)
+
 
 def shard_params(variables, mesh: Mesh, rules, *, min_sharded: int = 1):
     """General tensor-parallel placement: place every param leaf according to
@@ -201,6 +213,11 @@ def shard_mlp_params(variables, mesh: Mesh):
 def shard_unet_params(variables, mesh: Mesh):
     """Tensor-parallel placement for the ADM U-Nets (see UNET_TP_RULES)."""
     return shard_params(variables, mesh, UNET_TP_RULES, min_sharded=4)
+
+
+def shard_dit_params(variables, mesh: Mesh):
+    """Tensor-parallel placement for the DiT score net (see DIT_TP_RULES)."""
+    return shard_params(variables, mesh, DIT_TP_RULES, min_sharded=4)
 
 
 def shard_unet1d_params(variables, mesh: Mesh):

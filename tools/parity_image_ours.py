@@ -30,6 +30,12 @@ def main():
                          "(Trainer(steps_per_dispatch=...)) — use for "
                          "full-budget runs where per-step dispatch over the "
                          "remote link would dominate")
+    ap.add_argument("--eval", default=None,
+                    help="comma list of sampler:steps combos to evaluate on "
+                         "the SAME trained model (sde = rk4 reverse SDE, "
+                         "the reference path; ode = rk4 PF-ODE; pc = em + 1 "
+                         "Langevin corrector step; dpm = dpm2m, SGM arm "
+                         "only). Default: sde:<steps-back>")
     ap.add_argument("--out", default="parity_image_ours.json")
     args = ap.parse_args()
 
@@ -92,46 +98,68 @@ def main():
         state, final_loss = trainer.run(jax.random.fold_in(key, 3), args.iters)
         train_s = time.perf_counter() - t0
 
+        from sdeflow_tpu.ops.expint import integrate_dpm
+        from sdeflow_tpu.ops.ode import integrate_ode
+
+        combos = [("sde", args.steps_back)]
+        if args.eval:
+            combos = [
+                (c.split(":")[0], int(c.split(":")[1]))
+                for c in args.eval.split(",")
+            ]
+
         k_lat, k_solve = jax.random.split(jax.random.fold_in(key, 4))
         x0 = state.gen_sde.latent_sample(k_lat, args.samples, d)
-        solve = jax.jit(
-            lambda g, z, k: integrate_sde(
-                g, z, k, args.steps_back, method="rk4",
-                norm_correction=bool(is_msgm),
-            )
-        )
-        # sync via a scalar host fetch: the remote axon runtime does not
-        # reliably honor block_until_ready (see utils.profiling.device_seconds),
-        # but a host transfer always blocks until the program finished. One
-        # dispatch of one big scan, so the constant tunnel RTT is the only
-        # bias (~ms against a ~1.5 s solve); cross-checked within 5% of the
-        # slope-timed unet16_msgm_sampling rate in PERF_MEASURED.json.
-        xgen = solve(state.gen_sde, x0, k_solve)
-        float(xgen.sum())
-        t0 = time.perf_counter()
-        xgen = solve(state.gen_sde, x0, k_solve)
-        float(xgen.sum())
-        sample_s = time.perf_counter() - t0
-
-        xgen_f, dropped = filter_blowups(xgen)
         xtest = sampler.sampletest(jax.random.fold_in(key, 5), args.samples)
         xtrain = sampler.sample(jax.random.fold_in(key, 6), args.samples)
-        n = min(xgen_f.shape[0], args.samples)
-        mmd = float(compute_mmd(jnp.asarray(xgen_f[:n]), xtest[:n]))
-        mmd_floor = float(compute_mmd(xtrain[:n], xtest[:n]))
-        res = dict(
-            arm=arm, config="grf16_unet_attention", iters=args.iters,
-            batch=args.batch, steps_back=args.steps_back,
-            backend=jax.default_backend(),
-            train_s=train_s, ms_per_step=train_s / args.iters * 1000,
-            sample_s=sample_s, samples_per_s=args.samples / sample_s,
-            sqrt_mmd=mmd ** 0.5, sqrt_mmd_floor=mmd_floor ** 0.5,
-            dropped=dropped, final_loss=float(final_loss),
-        )
-        print(json.dumps(res), flush=True)
-        results.append(res)
-        with open(args.out, "w") as f:
-            json.dump(results, f, indent=2)
+        for samp, steps in combos:
+            if samp == "dpm" and is_msgm:
+                continue  # exponential integrators need the SGM kernel
+
+            def _solve(g, z, k, samp=samp, steps=steps):
+                if samp == "ode":
+                    return integrate_ode(g, z, steps, method="rk4",
+                                         norm_correction=bool(is_msgm))
+                if samp == "dpm":
+                    return integrate_dpm(g, z, steps, method="dpm2m")
+                return integrate_sde(
+                    g, z, k, steps, method="em" if samp == "pc" else "rk4",
+                    norm_correction=bool(is_msgm),
+                    corrector_steps=1 if samp == "pc" else 0,
+                )
+
+            solve = jax.jit(_solve)
+            # sync via a scalar host fetch: the remote axon runtime does not
+            # reliably honor block_until_ready (see
+            # utils.profiling.device_seconds), but a host transfer always
+            # blocks until the program finished. One dispatch of one big
+            # scan, so the constant tunnel RTT is the only bias (~ms against
+            # a ~1.5 s solve); cross-checked within 5% of the slope-timed
+            # unet16_msgm_sampling rate in PERF_MEASURED.json.
+            xgen = solve(state.gen_sde, x0, k_solve)
+            float(xgen.sum())
+            t0 = time.perf_counter()
+            xgen = solve(state.gen_sde, x0, k_solve)
+            float(xgen.sum())
+            sample_s = time.perf_counter() - t0
+
+            xgen_f, dropped = filter_blowups(xgen)
+            n = min(xgen_f.shape[0], args.samples)
+            mmd = float(compute_mmd(jnp.asarray(xgen_f[:n]), xtest[:n]))
+            mmd_floor = float(compute_mmd(xtrain[:n], xtest[:n]))
+            res = dict(
+                arm=arm, config="grf16_unet_attention", iters=args.iters,
+                batch=args.batch, sampler=samp, steps_back=steps,
+                backend=jax.default_backend(),
+                train_s=train_s, ms_per_step=train_s / args.iters * 1000,
+                sample_s=sample_s, samples_per_s=args.samples / sample_s,
+                sqrt_mmd=mmd ** 0.5, sqrt_mmd_floor=mmd_floor ** 0.5,
+                dropped=dropped, final_loss=float(final_loss),
+            )
+            print(json.dumps(res), flush=True)
+            results.append(res)
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=2)
     print("wrote", args.out)
 
 
