@@ -549,6 +549,73 @@ def sec_dpm_sampling():
     return out
 
 
+def sec_dit():
+    """DiT transformer score net (models/dit.py) on the d=1000 signal-config
+    shapes, vs UNet1D's numbers in sec_unet1d: forward MFU at B=1024 and
+    fused-trainer steps/s at batch 32. The DiT is sized to a comparable
+    param count at much higher arithmetic density (every FLOP a wide
+    matmul), so this measures how much closer the MXU gets to peak."""
+    import time
+
+    import optax
+
+    from sdeflow_tpu.models import DiT1D
+    from sdeflow_tpu.sde import SGMSde, PluginReverseSDE
+    from sdeflow_tpu.training import TrainState
+    from sdeflow_tpu.training.train import make_train_chunk
+    from sdeflow_tpu.utils import compiled_flops, device_seconds, peak_flops
+
+    d = 1000
+    key = jax.random.PRNGKey(0)
+    out = {}
+    for tag, dtype in (("bf16", jnp.bfloat16), ("fp32", jnp.float32)):
+        model = DiT1D(input_dim=d, patch=8, width=256, depth=6, heads=8,
+                      dtype=dtype)
+        x = jax.random.normal(key, (1024, d))
+        variables = model.init(key, x[:8], jnp.zeros((8,)))
+        n_params = sum(v.size for v in jax.tree_util.tree_leaves(variables))
+        out["dit_d1000_params"] = int(n_params)
+
+        fwd = jax.jit(lambda v, x, t: model.apply(v, x, t))
+        t_vec = jnp.linspace(0.01, 1.0, 1024)
+        sec = device_seconds(
+            lambda i: fwd(variables, x + 0.0 * i, t_vec).mean().astype(
+                jnp.float32)
+        )
+        out[f"dit_d1000_fwd_b1024_{tag}_ms"] = sec * 1e3
+        peak = peak_flops()
+        if peak:
+            out[f"dit_d1000_fwd_b1024_{tag}_mfu"] = (
+                compiled_flops(fwd, variables, x, t_vec) / sec / peak
+            )
+
+    # fused-trainer steps/s, batch 32 (the signal-config training shape)
+    model = DiT1D(input_dim=d, patch=8, width=256, depth=6, heads=8)
+    variables = model.init(key, jnp.zeros((32, d)), jnp.zeros((32,)))
+    sde = SGMSde.create(num_steps_forward=16)
+    gen = PluginReverseSDE.create(sde, model.apply, variables)
+    opt = optax.adam(1e-4)
+    state = TrainState(gen_sde=gen, opt_state=opt.init(gen.a_params),
+                       step=jnp.zeros((), jnp.int32))
+
+    def sample_fn(k, n):
+        return jax.random.normal(k, (n, d))
+
+    chunk = make_train_chunk(opt, sample_fn, 32)
+    state, _ = chunk(state, key, 16)  # compile
+    times = []
+    for n_steps in (64, 512):
+        s2, loss = chunk(state, jax.random.fold_in(key, 1), n_steps)
+        float(loss)
+        t0 = time.perf_counter()
+        s2, loss = chunk(state, jax.random.fold_in(key, 2), n_steps)
+        float(loss)
+        times.append(time.perf_counter() - t0)
+    step_s = (times[1] - times[0]) / (512 - 64)
+    out["dit_d1000_sgm_train_steps_per_s"] = 1.0 / step_s
+    return out
+
+
 SECTIONS = {
     "mlp_sampling": sec_mlp_sampling,
     "msgm_circulant": sec_msgm_circulant,
@@ -561,6 +628,7 @@ SECTIONS = {
     "flash_bwd": sec_flash_bwd,
     "unet1d": sec_unet1d,
     "dpm_sampling": sec_dpm_sampling,
+    "dit": sec_dit,
 }
 
 
