@@ -58,11 +58,12 @@ class TrainConfig:
     attention_impl: str = "auto"
     emb_dim: int = 128
     # DiT extras (models/dit.py — no reference counterpart; MXU-native
-    # transformer score net for large-d 1D configs)
-    dit_patch: int = 8
-    dit_width: int = 256
+    # transformer score net for large-d 1D configs). Defaults are the
+    # measured MXU sweet spot: head_dim 128, patch 16 (sec_dit).
+    dit_patch: int = 16
+    dit_width: int = 512
     dit_depth: int = 6
-    dit_heads: int = 8
+    dit_heads: int = 4
     # fused multi-step training: >1 runs this many SSM+Adam steps per device
     # dispatch via lax.scan with on-device data sampling (all samplers here
     # are jittable); amortizes host dispatch latency on remote accelerators

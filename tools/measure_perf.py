@@ -569,8 +569,7 @@ def sec_dit():
     key = jax.random.PRNGKey(0)
     out = {}
     for tag, dtype in (("bf16", jnp.bfloat16), ("fp32", jnp.float32)):
-        model = DiT1D(input_dim=d, patch=8, width=256, depth=6, heads=8,
-                      dtype=dtype)
+        model = DiT1D(input_dim=d, dtype=dtype)  # measured default shape
         x = jax.random.normal(key, (1024, d))
         variables = model.init(key, x[:8], jnp.zeros((8,)))
         n_params = sum(v.size for v in jax.tree_util.tree_leaves(variables))
@@ -590,7 +589,7 @@ def sec_dit():
             )
 
     # fused-trainer steps/s, batch 32 (the signal-config training shape)
-    model = DiT1D(input_dim=d, patch=8, width=256, depth=6, heads=8)
+    model = DiT1D(input_dim=d)
     variables = model.init(key, jnp.zeros((32, d)), jnp.zeros((32,)))
     sde = SGMSde.create(num_steps_forward=16)
     gen = PluginReverseSDE.create(sde, model.apply, variables)
