@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--data-root", default="/tmp/l63_parity_data")
+    ap.add_argument("--archi", default="unet1d", choices=["unet1d", "dit"],
+                    help="score net: the reference-parity UNet1D or the "
+                         "MXU-native DiT (models/dit.py, measured-default "
+                         "shape) — same SDE/training/eval harness")
     ap.add_argument("--eval", default=None,
                     help="comma list of sampler:steps combos to evaluate on "
                          "the SAME trained model (sde = rk4 reverse SDE, "
@@ -69,8 +73,14 @@ def main():
         sampler = Lorenz63(dim=1000, normalized=True)
         d = sampler.dim
         premodule = "NormalizeLogRadius" if is_msgm else None
-        model = UNet1D(input_dim=d, base_channels=32, channel_mults=(1, 2, 4),
-                       num_res_blocks=2, premodule=premodule, emb_dim=128)
+        if args.archi == "dit":
+            from sdeflow_tpu.models import DiT1D
+
+            model = DiT1D(input_dim=d, premodule=premodule)
+        else:
+            model = UNet1D(input_dim=d, base_channels=32,
+                           channel_mults=(1, 2, 4), num_res_blocks=2,
+                           premodule=premodule, emb_dim=128)
         x_probe = sampler.sample(key, 8)
         variables = model.init(key, x_probe, jnp.zeros((8,)))
         beta_min, beta_max, t_eps, steps_fwd = 0.1, 20.0, 1e-3, 16
@@ -140,7 +150,7 @@ def main():
             mmd = float(compute_mmd(jnp.asarray(xgen_f[:n]), xtest[:n]))
             mmd_floor = float(compute_mmd(xtrain[:n], xtest[:n]))
             res = dict(
-                arm=arm, config="l63_1000_unet1d", iters=args.iters,
+                arm=arm, config=f"l63_1000_{args.archi}", iters=args.iters,
                 batch=args.batch, sampler=samp, steps_back=steps,
                 backend=jax.default_backend(),
                 train_s=train_s, ms_per_step=train_s / args.iters * 1000,
