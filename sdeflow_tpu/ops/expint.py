@@ -20,6 +20,12 @@ Implemented orders (the ``method`` names used across serving/config/CLI):
   * ``dpm2``  — single-step midpoint (DPM-Solver-2, r=½). 2 NFE/step.
   * ``dpm2m`` — multistep data-prediction (DPM-Solver++ 2M). 1 NFE/step;
                 the serving default.
+  * ``sdpm1`` — STOCHASTIC first order (SDE-DPM-Solver-1, Lu et al. 2022
+                App. — the reverse diffusion SDE with the linear part
+                integrated exactly and the injected noise carrying its
+                exact conditional variance σ_r²(e^{2h}−1)). 1 NFE/step;
+                needs a PRNG key; the exponential counterpart of the
+                Euler–Maruyama reverse step.
 
 Scope: SDEs with a closed-form Gaussian forward kernel (``mean_weight`` /
 ``var``), i.e. SGM. MSGM's state-dependent skew diffusion has no such
@@ -43,7 +49,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_NFE_PER_STEP = {"dpm1": 1, "dpm2": 2, "dpm2m": 1}
+_NFE_PER_STEP = {"dpm1": 1, "dpm2": 2, "dpm2m": 1, "sdpm1": 1}
 
 
 def _check_kernel(base_sde):
@@ -91,21 +97,28 @@ def integrate_dpm(
     grid="logsnr",
     keep_all=False,
     include_t0=False,
+    key=None,
 ):
-    """Solve the reverse PF-ODE with a DPM-Solver exponential integrator.
+    """Solve the reverse process with a DPM-Solver exponential integrator.
 
     Args:
       flow: PluginReverseSDE over an SDE with a closed-form kernel (SGM).
       x0: (B, d) latents from ``flow.latent_sample`` (the s=T prior).
       num_steps: static grid-interval count (NFE = num_steps × 1 or 2).
-      method: "dpm1" | "dpm2" | "dpm2m" (see module docstring).
+      method: "dpm1" | "dpm2" | "dpm2m" | "sdpm1" (see module docstring).
       grid: "logsnr" (default) | "time".
       keep_all / include_t0: trajectory capture, as in integrate_ode.
+      key: PRNG key — required by (and only by) the stochastic "sdpm1".
 
-    Deterministic (no PRNG key), like ``ops.ode.integrate_ode``.
+    The dpm1/dpm2/dpm2m paths are deterministic (no PRNG key), like
+    ``ops.ode.integrate_ode``; sdpm1 solves the reverse diffusion SDE.
     """
     if method not in _NFE_PER_STEP:
-        raise ValueError(f"unknown dpm method {method!r} (dpm1|dpm2|dpm2m)")
+        raise ValueError(
+            f"unknown dpm method {method!r} (dpm1|dpm2|dpm2m|sdpm1)"
+        )
+    if method == "sdpm1" and key is None:
+        raise ValueError("sdpm1 is stochastic: pass key=")
     base = flow.base_sde
     _check_kernel(base)
     x0 = jnp.asarray(x0)
@@ -149,6 +162,21 @@ def integrate_dpm(
         def body(y, p):
             e = eps_hat(y, p["s_cur"], p["c_cur"])
             y = (p["a_nxt"] / p["a_cur"]) * y - p["sg_nxt"] * jnp.expm1(p["h"]) * e
+            return y, (y if keep_all else None)
+
+        carry0 = x0
+    elif method == "sdpm1":
+
+        def body(y, p):
+            e = eps_hat(y, p["s_cur"], p["c_cur"])
+            z = jax.random.normal(
+                jax.random.fold_in(key, p["i"]), y.shape, y.dtype
+            )
+            y = (
+                (p["a_nxt"] / p["a_cur"]) * y
+                - 2.0 * p["sg_nxt"] * jnp.expm1(p["h"]) * e
+                + p["sg_nxt"] * jnp.sqrt(jnp.expm1(2.0 * p["h"])) * z
+            )
             return y, (y if keep_all else None)
 
         carry0 = x0

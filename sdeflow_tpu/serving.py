@@ -36,8 +36,9 @@ def make_sampler_fn(gen_sde, num_samples, dim, num_steps, *, method="rk4",
     sampler: "sde" (stochastic reverse SDE, the reference's path), "ode"
     (deterministic probability-flow ODE, ops/ode.py — the key then only
     seeds the latent draw), or "dpm" (DPM-Solver exponential integrators,
-    ops/expint.py, SGM only; `method` is then "dpm1"|"dpm2"|"dpm2m",
-    defaulting to "dpm2m" when a non-dpm method name is passed). With
+    ops/expint.py, SGM only; `method` is then "dpm1"|"dpm2"|"dpm2m" or
+    the stochastic "sdpm1", defaulting to "dpm2m" when a non-dpm method
+    name is passed). With
     sampler="sde", corrector_steps > 0 adds that many Langevin corrector
     MCMC steps after each predictor step (predictor–corrector sampling,
     ops/integrators.langevin_corrector)."""
@@ -61,10 +62,11 @@ def _solve_from(gen_sde, x0, k_solve, num_steps, *, method, lmbd,
     """Dispatch one reverse solve from given latents (shared by the fixed
     and batch-polymorphic sampler programs)."""
     if sampler == "dpm":
+        m = method if method.startswith(("dpm", "sdpm")) else "dpm2m"
         return integrate_dpm(
-            gen_sde, x0, num_steps,
-            method=method if method.startswith("dpm") else "dpm2m",
+            gen_sde, x0, num_steps, method=m,
             keep_all=keep_all, include_t0=include_t0,
+            key=k_solve if m == "sdpm1" else None,
         )
     if sampler == "ode":
         return integrate_ode(

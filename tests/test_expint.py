@@ -143,6 +143,36 @@ def test_nfe_accounting():
     assert nfe("dpm1", 16) == 16
     assert nfe("dpm2", 16) == 32
     assert nfe("dpm2m", 16) == 16
+    assert nfe("sdpm1", 16) == 16
+
+
+def test_sdpm1_transports_latents_to_data_law(gen):
+    """Stochastic exponential integrator: the exact OU part + exact
+    conditional noise variance must transport N(0, I) to the data law."""
+    key = jax.random.PRNGKey(6)
+    x0 = gen.latent_sample(key, 20_000, 2)
+    x = jax.jit(
+        lambda x0: integrate_dpm(gen, x0, 16, method="sdpm1",
+                                 key=jax.random.fold_in(key, 1))
+    )(x0)
+    assert bool(jnp.all(jnp.isfinite(x)))
+    np.testing.assert_allclose(np.mean(np.asarray(x), 0), np.asarray(M0),
+                               atol=0.08)
+    np.testing.assert_allclose(np.var(np.asarray(x), 0), np.asarray(V0),
+                               rtol=0.12)
+
+
+def test_sdpm1_key_semantics(gen):
+    x0 = gen.latent_sample(jax.random.PRNGKey(7), 128, 2)
+    k = jax.random.PRNGKey(8)
+    a = integrate_dpm(gen, x0, 8, method="sdpm1", key=k)
+    b = integrate_dpm(gen, x0, 8, method="sdpm1", key=k)
+    c = integrate_dpm(gen, x0, 8, method="sdpm1",
+                      key=jax.random.PRNGKey(9))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.allclose(np.asarray(a), np.asarray(c))
+    with pytest.raises(ValueError, match="stochastic"):
+        integrate_dpm(gen, x0, 8, method="sdpm1")
 
 
 def test_serving_dispatch(gen):
@@ -157,3 +187,9 @@ def test_serving_dispatch(gen):
                                   sampler="dpm"))
     np.testing.assert_array_equal(np.asarray(fn2(jax.random.PRNGKey(5))),
                                   np.asarray(x))
+    # stochastic variant routes the solve key through
+    fn3 = jax.jit(make_sampler_fn(gen, 128, 2, 8, method="sdpm1",
+                                  sampler="dpm"))
+    y = fn3(jax.random.PRNGKey(5))
+    assert y.shape == (128, 2) and bool(jnp.all(jnp.isfinite(y)))
+    assert not np.allclose(np.asarray(y), np.asarray(x))

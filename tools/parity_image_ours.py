@@ -34,7 +34,8 @@ def main():
                     help="comma list of sampler:steps combos to evaluate on "
                          "the SAME trained model (sde = rk4 reverse SDE, "
                          "the reference path; ode = rk4 PF-ODE; pc = em + 1 "
-                         "Langevin corrector step; dpm = dpm2m, SGM arm "
+                         "Langevin corrector step; dpm = dpm2m and sdpm = "
+                         "stochastic sdpm1, SGM arm "
                          "only). Default: sde:<steps-back>")
     ap.add_argument("--out", default="parity_image_ours.json")
     args = ap.parse_args()
@@ -113,7 +114,7 @@ def main():
         xtest = sampler.sampletest(jax.random.fold_in(key, 5), args.samples)
         xtrain = sampler.sample(jax.random.fold_in(key, 6), args.samples)
         for samp, steps in combos:
-            if samp == "dpm" and is_msgm:
+            if samp in ("dpm", "sdpm") and is_msgm:
                 continue  # exponential integrators need the SGM kernel
 
             def _solve(g, z, k, samp=samp, steps=steps):
@@ -122,6 +123,8 @@ def main():
                                          norm_correction=bool(is_msgm))
                 if samp == "dpm":
                     return integrate_dpm(g, z, steps, method="dpm2m")
+                if samp == "sdpm":
+                    return integrate_dpm(g, z, steps, method="sdpm1", key=k)
                 return integrate_sde(
                     g, z, k, steps, method="em" if samp == "pc" else "rk4",
                     norm_correction=bool(is_msgm),
