@@ -495,15 +495,19 @@ class ExperimentDriver:
         # SGM/MSGM sweeps degrade the MSGM arms to the stochastic path
         # (loudly) instead of crashing the sweep
         eff_sampler, eff_method = sw.sampler, sw.backward_method
-        if eff_sampler == "dpm" and not hasattr(gen.base_sde, "mean_weight"):
-            eff_sampler = "sde"
-            if eff_method.startswith("dpm"):
+        if eff_sampler == "dpm":
+            if not eff_method.startswith(("dpm", "sdpm")):
+                # serving._solve_from would silently default to dpm2m;
+                # record the method that actually runs in names/logs
+                eff_method = "dpm2m"
+            if not hasattr(gen.base_sde, "mean_weight"):
+                eff_sampler = "sde"
                 eff_method = "rk4"
-            self.log(
-                f"sampler 'dpm' needs a closed-form forward kernel; "
-                f"{gen.base_sde.name} arm falls back to "
-                f"sampler '{eff_sampler}' / method '{eff_method}'"
-            )
+                self.log(
+                    f"sampler 'dpm' needs a closed-form forward kernel; "
+                    f"{gen.base_sde.name} arm falls back to "
+                    f"sampler '{eff_sampler}' / method '{eff_method}'"
+                )
         for i_steps, num_steps_backward in enumerate(sw.num_stepss_backward):
             self.log(f"Generation : num_steps_backward = {num_steps_backward}")
             fig_step = max(1, int(num_steps_backward / 8))

@@ -61,6 +61,20 @@ def _check_kernel(base_sde):
         )
 
 
+def _dense_table(base_sde, dtype, dense=4096):
+    """(s_dense increasing, λ(s_dense) decreasing) over [t_epsilon, T] —
+    the monotone table both the grid and the dpm2 midpoints interpolate."""
+    T = jnp.asarray(base_sde.T, dtype)
+    t_eps = jnp.asarray(base_sde.t_epsilon, dtype)
+    s_dense = jnp.linspace(t_eps, T, dense, dtype=dtype)
+    return s_dense, _lam(base_sde, s_dense)
+
+
+def _s_of_lambda(lam_targets, s_dense, lam):
+    """Invert λ(s) by interpolation (xp must increase: reverse both)."""
+    return jnp.interp(lam_targets, lam[::-1], s_dense[::-1])
+
+
 def _grid(base_sde, num_steps, dtype, grid="logsnr", dense=4096):
     """Time grid s_0=T > s_1 > … > s_N = t_epsilon, (N+1,).
 
@@ -74,11 +88,9 @@ def _grid(base_sde, num_steps, dtype, grid="logsnr", dense=4096):
         return jnp.linspace(T, t_eps, num_steps + 1, dtype=dtype)
     if grid != "logsnr":
         raise ValueError(f"unknown dpm grid {grid!r} (logsnr|time)")
-    s_dense = jnp.linspace(t_eps, T, dense, dtype=dtype)
-    lam = _lam(base_sde, s_dense)  # decreasing in s
-    # interp wants increasing xp: reverse so xp runs λ(T) → λ(t_eps)
+    s_dense, lam = _dense_table(base_sde, dtype, dense)
     lam_targets = jnp.linspace(lam[-1], lam[0], num_steps + 1, dtype=dtype)
-    s = jnp.interp(lam_targets, lam[::-1], s_dense[::-1])
+    s = _s_of_lambda(lam_targets, s_dense, lam)
     # targets run λ(T)→λ(t_eps), i.e. s runs T→t_eps; pin the endpoints
     return s.at[0].set(T).at[-1].set(t_eps)
 
@@ -129,9 +141,7 @@ def integrate_dpm(
     if method == "dpm2":
         lam_g = _lam(base, s)
         lam_mid = 0.5 * (lam_g[:-1] + lam_g[1:])
-        dense = jnp.linspace(s[-1], s[0], 4096, dtype=dtype)
-        lam_d = _lam(base, dense)
-        s_mid = jnp.interp(lam_mid, lam_d[::-1], dense[::-1])
+        s_mid = _s_of_lambda(lam_mid, *_dense_table(base, dtype))
 
     def coefs(sv):
         alpha = base.mean_weight(sv)

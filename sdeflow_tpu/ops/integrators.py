@@ -116,7 +116,13 @@ def langevin_corrector(flow, x, key, t, num_corrector, *, snr=0.16,
         gz = flow.corrector_noise(t, x, z)
         n_z = jnp.mean(jnp.linalg.norm(gz.reshape(gz.shape[0], -1), axis=-1))
         n_d = jnp.mean(jnp.linalg.norm(d.reshape(d.shape[0], -1), axis=-1))
-        eps = 2.0 * (snr * n_z / jnp.maximum(n_d, 1e-20)) ** 2
+        # a (near-)zero drift carries no score information — take no step
+        # instead of letting the SNR ratio blow eps up to inf (a zero-init
+        # score head at init would otherwise turn every sample NaN)
+        safe = n_d > 1e-12 * n_z
+        eps = jnp.where(
+            safe, 2.0 * (snr * n_z / jnp.maximum(n_d, 1e-20)) ** 2, 0.0
+        )
         x_new = x + eps * d + jnp.sqrt(2.0 * eps) * gz
         if norm0 is not None:
             x_new = _norm_project(x_new, norm0)

@@ -81,7 +81,8 @@ def build_parser():
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
 
     if args.delay > 0:
         import time
@@ -129,6 +130,14 @@ def main(argv=None):
         sweep = replace(sweep, backward_method=args.backward_method)
     if args.sampler is not None:
         sweep = replace(sweep, sampler=args.sampler)
+    # fail fast on an invalid combo instead of a KeyError after training:
+    # dpm* method names only exist under the dpm sampler
+    if sweep.backward_method.startswith(("dpm", "sdpm")) and \
+            sweep.sampler != "dpm":
+        parser.error(
+            f"--backward-method {sweep.backward_method} requires "
+            "--sampler dpm (exponential integrators, ops/expint.py)"
+        )
     if args.corrector_steps is not None:
         sweep = replace(sweep, corrector_steps=args.corrector_steps)
     if args.snr is not None:

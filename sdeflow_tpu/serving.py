@@ -184,15 +184,23 @@ class Sampler:
                 f"has shape {list(raw.shape)} — set jax_default_prng_impl to "
                 "match the exporting host"
             )
-        poly = bool(self.meta and self.meta.get("polymorphic_batch"))
+        # the exported program knows its own arity: two inputs = the
+        # batch-polymorphic (raw_key, template) contract — detect it from
+        # the artifact itself so a missing .json sidecar fails loudly
+        # instead of with a low-level module-signature error
+        poly = len(self._exported.in_avals) == 2
         if poly:
             n = num_samples or (self.meta or {}).get("num_samples")
             if not n:
                 raise ValueError(
                     "batch-polymorphic artifact: pass num_samples (no "
-                    "default recorded in the metadata)"
+                    "metadata sidecar with a recorded default was found)"
                 )
-            template = jnp.zeros((int(n), int(self.meta["dim"])), jnp.float32)
+            dim = (
+                int(self.meta["dim"]) if self.meta
+                else int(self._exported.in_avals[1].shape[1])
+            )
+            template = jnp.zeros((int(n), dim), jnp.float32)
             return self._call(raw.astype(jnp.uint32), template)
         if num_samples is not None and self.meta and (
             int(num_samples) != int(self.meta.get("num_samples", num_samples))

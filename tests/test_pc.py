@@ -241,3 +241,19 @@ def test_run_cli_corrector_plumbing(monkeypatch, tmp_path):
             "--results-dir", str(tmp_path / "r")])
     assert captured["cfg"].sweep.corrector_steps == 3
     assert captured["cfg"].sweep.snr == pytest.approx(0.2)
+
+
+def test_corrector_finite_on_zero_score(rng):
+    """A (near-)zero corrector drift — e.g. any zero-init score head at
+    init — must take no Langevin step, not blow eps up to inf and NaN
+    every sample (review finding: the SNR step-size ratio divides by the
+    drift norm)."""
+    from sdeflow_tpu.ops.integrators import langevin_corrector
+    from sdeflow_tpu.sde import PluginReverseSDE, SGMSde
+
+    sde = SGMSde.create(num_steps_forward=4)
+    gen = PluginReverseSDE.create(sde, lambda p, y, t: jnp.zeros_like(y), {})
+    x = jax.random.normal(rng, (64, 2))
+    out = langevin_corrector(gen, x, rng, jnp.asarray(0.5), 3)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x))

@@ -52,7 +52,6 @@ def main():
     from sdeflow_tpu.training import Trainer
     from sdeflow_tpu.eval import compute_mmd
     from sdeflow_tpu.eval.diagnostics import filter_blowups
-    from sdeflow_tpu.ops.integrators import integrate_sde
     from sdeflow_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -99,39 +98,18 @@ def main():
         state, final_loss = trainer.run(jax.random.fold_in(key, 3), args.iters)
         train_s = time.perf_counter() - t0
 
-        from sdeflow_tpu.ops.expint import integrate_dpm
-        from sdeflow_tpu.ops.ode import integrate_ode
+        from tools.sampler_combos import SGM_ONLY, make_solve, parse_combos
 
-        combos = [("sde", args.steps_back)]
-        if args.eval:
-            combos = [
-                (c.split(":")[0], int(c.split(":")[1]))
-                for c in args.eval.split(",")
-            ]
+        combos = parse_combos(args.eval, args.steps_back)
 
         k_lat, k_solve = jax.random.split(jax.random.fold_in(key, 4))
         x0 = state.gen_sde.latent_sample(k_lat, args.samples, d)
         xtest = sampler.sampletest(jax.random.fold_in(key, 5), args.samples)
         xtrain = sampler.sample(jax.random.fold_in(key, 6), args.samples)
         for samp, steps in combos:
-            if samp in ("dpm", "sdpm") and is_msgm:
+            if samp in SGM_ONLY and is_msgm:
                 continue  # exponential integrators need the SGM kernel
-
-            def _solve(g, z, k, samp=samp, steps=steps):
-                if samp == "ode":
-                    return integrate_ode(g, z, steps, method="rk4",
-                                         norm_correction=bool(is_msgm))
-                if samp == "dpm":
-                    return integrate_dpm(g, z, steps, method="dpm2m")
-                if samp == "sdpm":
-                    return integrate_dpm(g, z, steps, method="sdpm1", key=k)
-                return integrate_sde(
-                    g, z, k, steps, method="em" if samp == "pc" else "rk4",
-                    norm_correction=bool(is_msgm),
-                    corrector_steps=1 if samp == "pc" else 0,
-                )
-
-            solve = jax.jit(_solve)
+            solve = jax.jit(make_solve(samp, steps, is_msgm))
             # sync via a scalar host fetch: the remote axon runtime does not
             # reliably honor block_until_ready (see
             # utils.profiling.device_seconds), but a host transfer always
