@@ -175,6 +175,37 @@ def test_sdpm1_key_semantics(gen):
         integrate_dpm(gen, x0, 8, method="sdpm1")
 
 
+def test_cli_rejects_dpm_method_without_dpm_sampler():
+    """dpm*/sdpm1 --backward-method without --sampler dpm must fail at
+    parse time, not with a KeyError after training (review finding)."""
+    import sdeflow_tpu.run as R
+
+    for method in ("dpm2m", "sdpm1"):
+        with pytest.raises(SystemExit):
+            R.main(["--preset", "swissroll_dbg", "--cpu",
+                    "--backward-method", method])
+
+
+def test_combo_helper_dispatch(gen):
+    """tools/sampler_combos: parsing + every combo's solve runs (the
+    single wiring point the parity tools share)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from tools.sampler_combos import SGM_ONLY, make_solve, parse_combos
+
+    assert parse_combos(None, 64) == [("sde", 64)]
+    combos = parse_combos("sde:4,ode:2,pc:2,dpm:2,sdpm:2", 64)
+    assert combos == [("sde", 4), ("ode", 2), ("pc", 2), ("dpm", 2),
+                      ("sdpm", 2)]
+    z = gen.latent_sample(jax.random.PRNGKey(0), 16, 2)
+    k = jax.random.PRNGKey(1)
+    for samp, steps in combos:
+        assert (samp in SGM_ONLY) == (samp in ("dpm", "sdpm"))
+        out = make_solve(samp, steps, is_msgm=False)(gen, z, k)
+        assert out.shape == (16, 2) and bool(jnp.all(jnp.isfinite(out)))
+
+
 def test_serving_dispatch(gen):
     from sdeflow_tpu.serving import make_sampler_fn
 
