@@ -66,7 +66,7 @@ def _solve_from(gen_sde, x0, k_solve, num_steps, *, method, lmbd,
         return integrate_dpm(
             gen_sde, x0, num_steps, method=m,
             keep_all=keep_all, include_t0=include_t0,
-            key=k_solve if m == "sdpm1" else None,
+            key=k_solve if m.startswith("sdpm") else None,
         )
     if sampler == "ode":
         return integrate_ode(

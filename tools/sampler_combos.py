@@ -7,11 +7,12 @@ dispatch blocks). Combo grammar, used by both tools' --eval flags:
   sde  = rk4 reverse SDE (the reference's path)
   ode  = rk4 probability-flow ODE           (ops/ode.py)
   pc   = em + 1 Langevin corrector step     (ops/integrators.py)
-  dpm  = dpm2m exponential integrator       (ops/expint.py, SGM only)
-  sdpm = sdpm1 stochastic exponential       (ops/expint.py, SGM only)
+  dpm   = dpm2m exponential integrator      (ops/expint.py, SGM only)
+  sdpm  = sdpm1 stochastic exponential      (ops/expint.py, SGM only)
+  sdpm2 = sdpm2m stochastic 2nd-order       (ops/expint.py, SGM only)
 """
 
-SGM_ONLY = ("dpm", "sdpm")
+SGM_ONLY = ("dpm", "sdpm", "sdpm2")
 
 
 def parse_combos(eval_arg, default_steps):
@@ -37,6 +38,8 @@ def make_solve(samp, steps, is_msgm):
             return integrate_dpm(g, z, steps, method="dpm2m")
         if samp == "sdpm":
             return integrate_dpm(g, z, steps, method="sdpm1", key=k)
+        if samp == "sdpm2":
+            return integrate_dpm(g, z, steps, method="sdpm2m", key=k)
         return integrate_sde(
             g, z, k, steps, method="em" if samp == "pc" else "rk4",
             norm_correction=bool(is_msgm),
