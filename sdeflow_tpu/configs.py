@@ -101,6 +101,9 @@ class SweepConfig:
     # + its SNR step-size knob (ops/integrators.langevin_corrector)
     corrector_steps: int = 0
     snr: float = 0.16
+    # dpm time grid: "logsnr" (uniform-λ, the DPM-Solver default) |
+    # "time" (uniform-s) | "karras" (EDM ρ=7 noise schedule)
+    dpm_grid: str = "logsnr"
 
 
 @dataclass(frozen=True)

@@ -66,12 +66,12 @@ def resolve_std_norm(sampler, normalized, real_dim):
     jax.jit,
     static_argnames=(
         "num_samples", "dim", "num_steps", "method", "include_t0",
-        "norm_correction", "sampler", "corrector_steps", "snr",
+        "norm_correction", "sampler", "corrector_steps", "snr", "dpm_grid",
     ),
 )
 def _jit_generate(gen, key, num_samples, dim, num_steps, method, include_t0,
                   norm_correction, sampler="sde", corrector_steps=0,
-                  snr=0.16):
+                  snr=0.16, dpm_grid="logsnr"):
     """One XLA program for the whole generation (the serving module's
     sampler program with trajectory capture), cached per static config
     across the sweep's repeat runs."""
@@ -81,7 +81,7 @@ def _jit_generate(gen, key, num_samples, dim, num_steps, method, include_t0,
         gen, num_samples, dim, num_steps, method=method,
         norm_correction=norm_correction, keep_all=True,
         include_t0=include_t0, sampler=sampler,
-        corrector_steps=corrector_steps, snr=snr,
+        corrector_steps=corrector_steps, snr=snr, dpm_grid=dpm_grid,
     )
     return fn(key)
 
@@ -537,6 +537,7 @@ class ExperimentDriver:
                         bool(gen.base_sde.norm_correction),
                         sampler=eff_sampler,
                         corrector_steps=sw.corrector_steps, snr=sw.snr,
+                        dpm_grid=sw.dpm_grid,
                     )
                     if pc.save_results:
                         np.save(name_simu + "_traj.npy", np.asarray(xs))

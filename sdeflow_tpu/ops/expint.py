@@ -86,14 +86,28 @@ def _grid(base_sde, num_steps, dtype, grid="logsnr", dense=4096):
 
     ``logsnr``: uniform in λ(s) = log α − log σ, found by interpolating a
     dense monotone λ(s) table (works for any β schedule, traceable under
-    jit). ``time``: uniform in s.
+    jit). ``time``: uniform in s. ``karras``: the EDM ρ=7 schedule on the
+    noise scale e^{−λ} — denser steps at low noise.
     """
     T = jnp.asarray(base_sde.T, dtype)
     t_eps = jnp.asarray(base_sde.t_epsilon, dtype)
     if grid == "time":
         return jnp.linspace(T, t_eps, num_steps + 1, dtype=dtype)
+    if grid == "karras":
+        # EDM ρ-schedule (Karras et al. 2022, eq. 5) on the VP noise scale
+        # σ_edm(s) = σ(s)/α(s) = e^{−λ(s)}: steps cluster at LOW noise,
+        # where the data manifold sharpens — the standard low-NFE lever.
+        s_dense, lam = _dense_table(base_sde, dtype, dense)
+        rho = 7.0
+        sig_max = jnp.exp(-lam[-1])  # λ(T): the high-noise end
+        sig_min = jnp.exp(-lam[0])   # λ(t_eps): the low-noise end
+        r = jnp.linspace(0.0, 1.0, num_steps + 1, dtype=dtype)
+        inv = 1.0 / rho
+        sig = (sig_max**inv + r * (sig_min**inv - sig_max**inv)) ** rho
+        s = _s_of_lambda(-jnp.log(sig), s_dense, lam)
+        return s.at[0].set(T).at[-1].set(t_eps)
     if grid != "logsnr":
-        raise ValueError(f"unknown dpm grid {grid!r} (logsnr|time)")
+        raise ValueError(f"unknown dpm grid {grid!r} (logsnr|time|karras)")
     s_dense, lam = _dense_table(base_sde, dtype, dense)
     lam_targets = jnp.linspace(lam[-1], lam[0], num_steps + 1, dtype=dtype)
     s = _s_of_lambda(lam_targets, s_dense, lam)
@@ -124,7 +138,7 @@ def integrate_dpm(
       x0: (B, d) latents from ``flow.latent_sample`` (the s=T prior).
       num_steps: static grid-interval count (NFE = num_steps × 1 or 2).
       method: "dpm1" | "dpm2" | "dpm2m" | "sdpm1" (see module docstring).
-      grid: "logsnr" (default) | "time".
+      grid: "logsnr" (default) | "time" | "karras" (EDM ρ=7 schedule).
       keep_all / include_t0: trajectory capture, as in integrate_ode.
       key: PRNG key — required by (and only by) the stochastic "sdpm1".
 

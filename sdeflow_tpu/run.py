@@ -37,6 +37,10 @@ def build_parser():
     p.add_argument("--snr", type=float, default=None,
                    help="corrector signal-to-noise step-size knob "
                         "(default 0.16)")
+    p.add_argument("--dpm-grid", choices=["logsnr", "time", "karras"],
+                   default=None,
+                   help="dpm sampler time grid (default logsnr; karras = "
+                        "EDM rho=7 noise schedule)")
     p.add_argument("--eval-mmd", action="store_true",
                    help="compute the MMD result tensors")
     p.add_argument("--no-plots", action="store_true")
@@ -138,6 +142,10 @@ def main(argv=None):
             f"--backward-method {sweep.backward_method} requires "
             "--sampler dpm (exponential integrators, ops/expint.py)"
         )
+    if args.dpm_grid is not None:
+        if sweep.sampler != "dpm":
+            parser.error("--dpm-grid only applies with --sampler dpm")
+        sweep = replace(sweep, dpm_grid=args.dpm_grid)
     if args.corrector_steps is not None:
         sweep = replace(sweep, corrector_steps=args.corrector_steps)
     if args.snr is not None:

@@ -27,7 +27,7 @@ from sdeflow_tpu.ops.ode import integrate_ode
 def make_sampler_fn(gen_sde, num_samples, dim, num_steps, *, method="rk4",
                     lmbd=0.0, norm_correction=False, keep_all=False,
                     include_t0=False, sampler="sde", corrector_steps=0,
-                    snr=0.16):
+                    snr=0.16, dpm_grid="logsnr"):
     """Close the generative program over a trained PluginReverseSDE:
     key -> (num_samples, dim) samples (or the full trajectory). This is THE
     generation program — the experiment driver jits it and the serving
@@ -41,7 +41,8 @@ def make_sampler_fn(gen_sde, num_samples, dim, num_steps, *, method="rk4",
     name is passed). With
     sampler="sde", corrector_steps > 0 adds that many Langevin corrector
     MCMC steps after each predictor step (predictor–corrector sampling,
-    ops/integrators.langevin_corrector)."""
+    ops/integrators.langevin_corrector). dpm_grid picks the dpm time grid:
+    "logsnr" (uniform-λ, default) | "time" | "karras" (EDM ρ=7)."""
 
     def sample(key):
         k_lat, k_solve = jax.random.split(key)
@@ -50,7 +51,7 @@ def make_sampler_fn(gen_sde, num_samples, dim, num_steps, *, method="rk4",
             gen_sde, x0, k_solve, num_steps, method=method, lmbd=lmbd,
             norm_correction=norm_correction, keep_all=keep_all,
             include_t0=include_t0, sampler=sampler,
-            corrector_steps=corrector_steps, snr=snr,
+            corrector_steps=corrector_steps, snr=snr, dpm_grid=dpm_grid,
         )
 
     return sample
@@ -58,13 +59,13 @@ def make_sampler_fn(gen_sde, num_samples, dim, num_steps, *, method="rk4",
 
 def _solve_from(gen_sde, x0, k_solve, num_steps, *, method, lmbd,
                 norm_correction, keep_all, include_t0, sampler,
-                corrector_steps, snr):
+                corrector_steps, snr, dpm_grid="logsnr"):
     """Dispatch one reverse solve from given latents (shared by the fixed
     and batch-polymorphic sampler programs)."""
     if sampler == "dpm":
         m = method if method.startswith(("dpm", "sdpm")) else "dpm2m"
         return integrate_dpm(
-            gen_sde, x0, num_steps, method=m,
+            gen_sde, x0, num_steps, method=m, grid=dpm_grid,
             keep_all=keep_all, include_t0=include_t0,
             key=k_solve if m.startswith("sdpm") else None,
         )
@@ -84,7 +85,7 @@ def _solve_from(gen_sde, x0, k_solve, num_steps, *, method, lmbd,
 def export_sampler(gen_sde, path, num_samples, dim, num_steps, *,
                    method="rk4", lmbd=0.0, norm_correction=False,
                    sampler="sde", corrector_steps=0, snr=0.16,
-                   polymorphic_batch=False,
+                   dpm_grid="logsnr", polymorphic_batch=False,
                    platforms: Optional[list] = None):
     """Stage + serialize the full sampling program to `path`.
 
@@ -116,7 +117,7 @@ def export_sampler(gen_sde, path, num_samples, dim, num_steps, *,
                 gen_sde, x0, k_solve, num_steps, method=method, lmbd=lmbd,
                 norm_correction=norm_correction, keep_all=False,
                 include_t0=False, sampler=sampler,
-                corrector_steps=corrector_steps, snr=snr,
+                corrector_steps=corrector_steps, snr=snr, dpm_grid=dpm_grid,
             )
 
         exported = jax_export.export(
@@ -127,7 +128,7 @@ def export_sampler(gen_sde, path, num_samples, dim, num_steps, *,
         fn = make_sampler_fn(
             gen_sde, num_samples, dim, num_steps, method=method, lmbd=lmbd,
             norm_correction=norm_correction, sampler=sampler,
-            corrector_steps=corrector_steps, snr=snr,
+            corrector_steps=corrector_steps, snr=snr, dpm_grid=dpm_grid,
         )
 
         def fn_from_raw(raw_key):
@@ -144,7 +145,7 @@ def export_sampler(gen_sde, path, num_samples, dim, num_steps, *,
     meta = dict(
         num_samples=num_samples, dim=dim, num_steps=num_steps, method=method,
         lmbd=lmbd, norm_correction=norm_correction, sampler=sampler,
-        corrector_steps=corrector_steps, snr=snr,
+        corrector_steps=corrector_steps, snr=snr, dpm_grid=dpm_grid,
         polymorphic_batch=bool(polymorphic_batch),
         platforms=list(exported.platforms),
         key_shape=list(probe.shape), key_dtype=str(probe.dtype),

@@ -122,6 +122,45 @@ def test_time_grid_variant_runs(gen):
     assert bool(jnp.all(jnp.isfinite(x)))
 
 
+def test_karras_grid_follows_rho_schedule(gen):
+    """The karras grid must be monotone, endpoint-pinned, and place its
+    knots so the EDM noise scale σ_edm = e^{−λ} is affine in index after
+    the ρ-th root (Karras et al. 2022 eq. 5) — i.e. the construction, not
+    just 'some grid'."""
+    sde = gen.base_sde
+    s = np.asarray(_grid(sde, 32, jnp.float64 if jax.config.jax_enable_x64
+                         else jnp.float32, grid="karras"))
+    assert s.shape == (33,)
+    assert np.all(np.diff(s) < 0)
+    np.testing.assert_allclose(s[0], float(sde.T), rtol=1e-6)
+    np.testing.assert_allclose(s[-1], float(sde.t_epsilon), rtol=1e-6)
+    alpha = np.asarray(sde.mean_weight(jnp.asarray(s)))
+    sig_edm = np.sqrt(np.asarray(sde.var(jnp.asarray(s)))) / alpha
+    root = sig_edm ** (1.0 / 7.0)
+    # affine in index: second differences vanish (interp tolerance)
+    np.testing.assert_allclose(np.diff(root, 2), 0.0, atol=2e-3)
+    # and it differs from the uniform-λ grid
+    s_log = np.asarray(_grid(sde, 32, jnp.float32))
+    assert np.max(np.abs(s - s_log)) > 1e-3
+
+
+def test_karras_grid_transports(gen):
+    """32 steps: the ρ-schedule clusters knots at LOW noise, so on this
+    broad-Gaussian oracle (no sharp manifold to resolve) its error
+    constant at a given step count is a bit larger than uniform-λ's —
+    measured var err 14% at 16 steps, 5% at 32 (logsnr: 6%/3%)."""
+    key = jax.random.PRNGKey(11)
+    x0 = gen.latent_sample(key, 20_000, 2)
+    x = jax.jit(
+        lambda x0: integrate_dpm(gen, x0, 32, method="dpm2m", grid="karras")
+    )(x0)
+    assert bool(jnp.all(jnp.isfinite(x)))
+    np.testing.assert_allclose(np.mean(np.asarray(x), 0), np.asarray(M0),
+                               atol=0.08)
+    np.testing.assert_allclose(np.var(np.asarray(x), 0), np.asarray(V0),
+                               rtol=0.12)
+
+
 def test_msgm_rejected():
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (256, 8))
@@ -201,6 +240,10 @@ def test_cli_rejects_dpm_method_without_dpm_sampler():
         with pytest.raises(SystemExit):
             R.main(["--preset", "swissroll_dbg", "--cpu",
                     "--backward-method", method])
+    # --dpm-grid is a dpm-sampler knob: reject it under the default sampler
+    with pytest.raises(SystemExit):
+        R.main(["--preset", "swissroll_dbg", "--cpu",
+                "--dpm-grid", "karras"])
 
 
 def test_combo_helper_dispatch(gen):
@@ -241,3 +284,9 @@ def test_serving_dispatch(gen):
     y = fn3(jax.random.PRNGKey(5))
     assert y.shape == (128, 2) and bool(jnp.all(jnp.isfinite(y)))
     assert not np.allclose(np.asarray(y), np.asarray(x))
+    # the grid knob reaches the solver (karras ≠ logsnr trajectories)
+    fn4 = jax.jit(make_sampler_fn(gen, 128, 2, 8, method="dpm2m",
+                                  sampler="dpm", dpm_grid="karras"))
+    z = fn4(jax.random.PRNGKey(5))
+    assert z.shape == (128, 2) and bool(jnp.all(jnp.isfinite(z)))
+    assert not np.allclose(np.asarray(z), np.asarray(x))

@@ -58,6 +58,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--no-timing", action="store_true",
                     help="skip device_seconds throughput (quality only)")
+    ap.add_argument("--dpm-grid", default="logsnr",
+                    choices=["logsnr", "time", "karras"],
+                    help="time grid for the dpm arms (recorded per row)")
     ap.add_argument("--out", default="ODE_STUDY.json")
     args = ap.parse_args()
 
@@ -125,7 +128,7 @@ def main():
                 fn = jax.jit(make_sampler_fn(
                     gen, args.samples, d, num_steps, method=method,
                     norm_correction=bool(is_msgm), sampler=sampler_kind,
-                    corrector_steps=corr,
+                    corrector_steps=corr, dpm_grid=args.dpm_grid,
                 ))
                 xgen = fn(k_solve)
                 xgen_f, dropped = filter_blowups(xgen)
@@ -136,6 +139,9 @@ def main():
                 row = dict(
                     arm=arm, sampler=sampler_kind, method=method,
                     steps=num_steps, corrector_steps=corr,
+                    **({"dpm_grid": args.dpm_grid}
+                       if sampler_kind == "dpm" and args.dpm_grid != "logsnr"
+                       else {}),
                     nfe=num_steps * (_EVALS_PER_STEP[method] + corr),
                     sqrt_mmd=mmd, sqrt_mmd_floor=mmd_floor,
                     dropped=dropped,

@@ -37,6 +37,9 @@ def main():
                          "Langevin corrector step; dpm = dpm2m and sdpm = "
                          "stochastic sdpm1, SGM arm "
                          "only). Default: sde:<steps-back>")
+    ap.add_argument("--dpm-grid", default="logsnr",
+                    choices=["logsnr", "time", "karras"],
+                    help="time grid for dpm/sdpm/sdpm2 combos")
     ap.add_argument("--out", default="parity_image_ours.json")
     args = ap.parse_args()
 
@@ -109,7 +112,8 @@ def main():
         for samp, steps in combos:
             if samp in SGM_ONLY and is_msgm:
                 continue  # exponential integrators need the SGM kernel
-            solve = jax.jit(make_solve(samp, steps, is_msgm))
+            solve = jax.jit(make_solve(samp, steps, is_msgm,
+                                 dpm_grid=args.dpm_grid))
             # sync via a scalar host fetch: the remote axon runtime does not
             # reliably honor block_until_ready (see
             # utils.profiling.device_seconds), but a host transfer always
@@ -131,6 +135,8 @@ def main():
             res = dict(
                 arm=arm, config="grf16_unet_attention", iters=args.iters,
                 batch=args.batch, sampler=samp, steps_back=steps,
+                **({"dpm_grid": args.dpm_grid} if samp in SGM_ONLY
+                   else {}),
                 backend=jax.default_backend(),
                 train_s=train_s, ms_per_step=train_s / args.iters * 1000,
                 sample_s=sample_s, samples_per_s=args.samples / sample_s,

@@ -40,6 +40,9 @@ def main():
                          "Langevin corrector step; dpm = dpm2m and sdpm = "
                          "stochastic sdpm1, SGM arm "
                          "only). Default: sde:<steps-back>")
+    ap.add_argument("--dpm-grid", default="logsnr",
+                    choices=["logsnr", "time", "karras"],
+                    help="time grid for dpm/sdpm/sdpm2 combos")
     ap.add_argument("--out", default="parity_signal_ours.json")
     args = ap.parse_args()
 
@@ -117,7 +120,8 @@ def main():
         for samp, steps in combos:
             if samp in SGM_ONLY and is_msgm:
                 continue  # exponential integrators need the SGM kernel
-            solve = jax.jit(make_solve(samp, steps, is_msgm))
+            solve = jax.jit(make_solve(samp, steps, is_msgm,
+                                 dpm_grid=args.dpm_grid))
             # scalar-fetch sync: see tools/parity_image_ours.py
             xgen = solve(state.gen_sde, x0, k_solve)
             float(xgen.sum())
@@ -133,6 +137,8 @@ def main():
             res = dict(
                 arm=arm, config=f"l63_1000_{args.archi}", iters=args.iters,
                 batch=args.batch, sampler=samp, steps_back=steps,
+                **({"dpm_grid": args.dpm_grid} if samp in SGM_ONLY
+                   else {}),
                 backend=jax.default_backend(),
                 train_s=train_s, ms_per_step=train_s / args.iters * 1000,
                 sample_s=sample_s, samples_per_s=args.samples / sample_s,

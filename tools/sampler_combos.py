@@ -24,8 +24,9 @@ def parse_combos(eval_arg, default_steps):
     ]
 
 
-def make_solve(samp, steps, is_msgm):
-    """(gen, latents, key) -> samples for one combo."""
+def make_solve(samp, steps, is_msgm, dpm_grid="logsnr"):
+    """(gen, latents, key) -> samples for one combo. dpm_grid picks the
+    exponential-integrator time grid (logsnr | time | karras)."""
     from sdeflow_tpu.ops.expint import integrate_dpm
     from sdeflow_tpu.ops.integrators import integrate_sde
     from sdeflow_tpu.ops.ode import integrate_ode
@@ -35,11 +36,13 @@ def make_solve(samp, steps, is_msgm):
             return integrate_ode(g, z, steps, method="rk4",
                                  norm_correction=bool(is_msgm))
         if samp == "dpm":
-            return integrate_dpm(g, z, steps, method="dpm2m")
+            return integrate_dpm(g, z, steps, method="dpm2m", grid=dpm_grid)
         if samp == "sdpm":
-            return integrate_dpm(g, z, steps, method="sdpm1", key=k)
+            return integrate_dpm(g, z, steps, method="sdpm1", key=k,
+                                 grid=dpm_grid)
         if samp == "sdpm2":
-            return integrate_dpm(g, z, steps, method="sdpm2m", key=k)
+            return integrate_dpm(g, z, steps, method="sdpm2m", key=k,
+                                 grid=dpm_grid)
         return integrate_sde(
             g, z, k, steps, method="em" if samp == "pc" else "rk4",
             norm_correction=bool(is_msgm),
