@@ -23,7 +23,7 @@ def build_parser():
     p.add_argument("--steps-backward", type=int, default=None)
     p.add_argument("--backward-method",
                    choices=["rk4", "heun", "em", "dpm1", "dpm2", "dpm2m",
-                            "sdpm1", "sdpm2m"],
+                            "dpm3m", "sdpm1", "sdpm2m"],
                    default=None,
                    help="generation integrator (default rk4; dpm* names "
                         "apply with --sampler dpm)")

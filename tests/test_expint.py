@@ -49,7 +49,7 @@ def test_logsnr_grid_monotone_and_pinned(gen):
 
 
 @pytest.mark.parametrize("method,steps", [("dpm1", 64), ("dpm2", 16),
-                                          ("dpm2m", 16)])
+                                          ("dpm2m", 16), ("dpm3m", 16)])
 def test_transports_latents_to_data_law(gen, method, steps):
     key = jax.random.PRNGKey(0)
     x0 = gen.latent_sample(key, 20_000, 2)
@@ -104,6 +104,25 @@ def test_higher_order_beats_dpm1_at_equal_nfe(gen):
     e2m = err(integrate_dpm(gen, x0, 16, method="dpm2m"))
     assert e2 < e1, (e1, e2)
     assert e2m < e1, (e1, e2m)
+
+
+def test_dpm3m_beats_dpm2m_at_equal_nfe(gen):
+    """The 3rd-order multistep must strictly improve on 2M at every
+    matched budget (both are 1 NFE/step), and its step-halving ratio on
+    the coarse end must exceed 2nd order's ~4 (measured 8.7 at 8→16;
+    the fine-step tail relaxes toward ~4.7 as the fp32 λ-interp floor
+    and the order-1/2 warm-up intervals start to dominate)."""
+    x0 = gen.latent_sample(jax.random.PRNGKey(7), 512, 2)
+    x_star = integrate_ode(gen, x0, 2048, method="rk4")
+
+    def err(method, n):
+        return float(jnp.max(jnp.linalg.norm(
+            integrate_dpm(gen, x0, n, method=method) - x_star, axis=-1)))
+
+    for n in (16, 32, 64):
+        e2, e3 = err("dpm2m", n), err("dpm3m", n)
+        assert e3 < e2, (n, e2, e3)
+    assert err("dpm3m", 8) / err("dpm3m", 16) > 4.5
 
 
 def test_trajectory_capture_shapes(gen):

@@ -38,13 +38,14 @@ SAMPLER_GRID = (
     ("sde", "em", 1),     # predictor-corrector (1 Langevin step / predictor)
     ("dpm", "dpm1", 0),   # DDIM (exponential integrator, order 1) — SGM only
     ("dpm", "dpm2m", 0),  # DPM-Solver++ 2M — SGM only, 1 NFE/step
+    ("dpm", "dpm3m", 0),  # DPM-Solver++ 3M — SGM only, 1 NFE/step
     ("dpm", "sdpm1", 0),  # stochastic exponential integrator — SGM only
     ("dpm", "sdpm2m", 0),  # stochastic 2nd-order multistep — SGM only
 )
 
 _EVALS_PER_STEP = {"em": 1, "heun": 2, "rk4": 4,
-                   "dpm1": 1, "dpm2": 2, "dpm2m": 1, "sdpm1": 1,
-                   "sdpm2m": 1}
+                   "dpm1": 1, "dpm2": 2, "dpm2m": 1, "dpm3m": 1,
+                   "sdpm1": 1, "sdpm2m": 1}
 
 
 def main():

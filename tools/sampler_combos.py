@@ -8,11 +8,12 @@ dispatch blocks). Combo grammar, used by both tools' --eval flags:
   ode  = rk4 probability-flow ODE           (ops/ode.py)
   pc   = em + 1 Langevin corrector step     (ops/integrators.py)
   dpm   = dpm2m exponential integrator      (ops/expint.py, SGM only)
+  dpm3  = dpm3m 3rd-order multistep         (ops/expint.py, SGM only)
   sdpm  = sdpm1 stochastic exponential      (ops/expint.py, SGM only)
   sdpm2 = sdpm2m stochastic 2nd-order       (ops/expint.py, SGM only)
 """
 
-SGM_ONLY = ("dpm", "sdpm", "sdpm2")
+SGM_ONLY = ("dpm", "dpm3", "sdpm", "sdpm2")
 
 
 def parse_combos(eval_arg, default_steps):
@@ -37,6 +38,8 @@ def make_solve(samp, steps, is_msgm, dpm_grid="logsnr"):
                                  norm_correction=bool(is_msgm))
         if samp == "dpm":
             return integrate_dpm(g, z, steps, method="dpm2m", grid=dpm_grid)
+        if samp == "dpm3":
+            return integrate_dpm(g, z, steps, method="dpm3m", grid=dpm_grid)
         if samp == "sdpm":
             return integrate_dpm(g, z, steps, method="sdpm1", key=k,
                                  grid=dpm_grid)
