@@ -23,6 +23,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax.experimental.ode import odeint
 
 from sdeflow_tpu.ops.integrators import _norm_project
 
@@ -59,6 +60,8 @@ def integrate_ode(
     norm_correction=False,
     keep_all=False,
     include_t0=False,
+    rtol=1e-5,
+    atol=1e-5,
 ):
     """Integrate the reverse-time probability-flow ODE dx/ds = mu_ode(s, x)
     for `num_steps` uniform steps in one lax.scan.
@@ -66,15 +69,31 @@ def integrate_ode(
     Args:
       flow: object with `T` and `mu_ode(t, y) -> (B, d)` (PluginReverseSDE).
       x0: (B, d) latent states (from `flow.latent_sample`).
-      num_steps: static step count.
-      method: "euler" | "heun" | "rk4" (classic deterministic schemes).
-      norm_correction: re-project to the initial norm each step (MSGM).
+      num_steps: static step count (for "dopri" only the trajectory-capture
+        grid — the step size is chosen adaptively).
+      method: "euler" | "heun" | "rk4" (classic fixed-step schemes) or
+        "dopri" (adaptive Dormand–Prince 4(5), `jax.experimental.ode`):
+        tolerance-targeted rather than budget-targeted sampling, and —
+        unlike the DPM exponential integrators — valid for MSGM too (no
+        closed-form kernel needed, only the drift).
+      norm_correction: re-project to the initial norm (MSGM). Fixed-step
+        methods project after EVERY step (in-dynamics, like the reference's
+        sde_scheme.py:254-255); "dopri" has no per-step hook inside the
+        adaptive while_loop, so it projects the CAPTURED states a
+        posteriori — the terminal radius is restored exactly either way.
+      rtol / atol: "dopri" error-control tolerances (ignored otherwise).
       keep_all: return the (S, B, d) trajectory instead of (B, d).
 
     Deterministic: no PRNG key — identical latents give bitwise-identical
     samples, which is what makes ODE generation useful for encode/decode
     round-trips and ablation-stable evals.
     """
+    if method == "dopri":
+        return _integrate_dopri(
+            flow, x0, num_steps, T=T, rtol=rtol, atol=atol,
+            norm_correction=norm_correction, keep_all=keep_all,
+            include_t0=include_t0,
+        )
     step_fn = _ODE_STEP_FNS[method]
     x0 = jnp.asarray(x0)
     T = flow.T if T is None else T
@@ -95,6 +114,38 @@ def integrate_ode(
     if include_t0:
         traj = jnp.concatenate([x0[None], traj], axis=0)
     return traj
+
+
+def _integrate_dopri(flow, x0, num_steps, *, T, rtol, atol,
+                     norm_correction, keep_all, include_t0):
+    """Adaptive PF-ODE solve via `jax.experimental.ode.odeint` (Dormand–
+    Prince 4(5) with PI step-size control, compiled to one XLA
+    while_loop program — jit/TPU-safe, dynamic trip count only).
+
+    The solver picks its own steps to meet rtol/atol; `num_steps` only
+    sets the capture grid when keep_all=True. No reference counterpart
+    (the reference's solvers are all fixed-step, sde_scheme.py:44-269).
+    """
+    x0 = jnp.asarray(x0)
+    T = flow.T if T is None else T
+    T = jnp.asarray(T, dtype=x0.dtype)
+    n_cap = num_steps if keep_all else 1
+    ts = jnp.linspace(jnp.zeros((), x0.dtype), T, n_cap + 1)
+
+    def f(y, t):
+        # odeint's internal steps may overshoot ts[-1]=T before it
+        # interpolates back; mu_ode's reverse clock s = T − t goes
+        # negative there (sqrt(var<0) → NaN). Clip to the drift's valid
+        # domain — the same [0, T] range the fixed-step schemes evaluate.
+        return flow.mu_ode(jnp.clip(t, 0.0, T), y)
+
+    ys = odeint(f, x0, ts, rtol=rtol, atol=atol)  # (n_cap+1, B, d), ys[0]=x0
+    if norm_correction:
+        norm0 = jnp.linalg.norm(x0, axis=-1, keepdims=True)
+        ys = _norm_project(ys, norm0[None])
+    if not keep_all:
+        return ys[-1]
+    return ys if include_t0 else ys[1:]
 
 
 probability_flow_sampler = partial(integrate_ode, method="rk4")

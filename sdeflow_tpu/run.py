@@ -22,11 +22,12 @@ def build_parser():
     p.add_argument("--num-samples", type=int, default=None)
     p.add_argument("--steps-backward", type=int, default=None)
     p.add_argument("--backward-method",
-                   choices=["rk4", "heun", "em", "dpm1", "dpm2", "dpm2m",
-                            "dpm3m", "sdpm1", "sdpm2m"],
+                   choices=["rk4", "heun", "em", "dopri", "dpm1", "dpm2",
+                            "dpm2m", "dpm3m", "sdpm1", "sdpm2m"],
                    default=None,
                    help="generation integrator (default rk4; dpm* names "
-                        "apply with --sampler dpm)")
+                        "apply with --sampler dpm; dopri — adaptive "
+                        "Dormand-Prince — with --sampler ode)")
     p.add_argument("--sampler", choices=["sde", "ode", "dpm"], default=None,
                    help="generation path: stochastic reverse SDE (default), "
                         "deterministic probability-flow ODE, or DPM-Solver "
@@ -141,6 +142,11 @@ def main(argv=None):
         parser.error(
             f"--backward-method {sweep.backward_method} requires "
             "--sampler dpm (exponential integrators, ops/expint.py)"
+        )
+    if sweep.backward_method == "dopri" and sweep.sampler != "ode":
+        parser.error(
+            "--backward-method dopri requires --sampler ode (adaptive "
+            "probability-flow solve, ops/ode.py)"
         )
     if args.dpm_grid is not None:
         if sweep.sampler != "dpm":

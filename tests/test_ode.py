@@ -192,3 +192,67 @@ def test_serving_ode_sampler(rng):
     np.testing.assert_array_equal(a, b)
     c = fn(jax.random.PRNGKey(123))
     assert not np.allclose(a, c)
+
+
+# -- adaptive (Dormand–Prince) path --------------------------------------------
+
+
+def test_dopri_matches_fixed_step_endpoint(rng):
+    """The adaptive solve approximates the same ODE solution map as the
+    dense fixed-step rk4 reference, under jit (one while_loop program)."""
+    gen, _ = _analytic_gen()
+    x0 = gen.latent_sample(rng, 512, D)
+    x_star = integrate_ode(gen, x0, 2048, method="rk4")
+    x = jax.jit(lambda z: integrate_ode(gen, z, 8, method="dopri"))(x0)
+    err = float(jnp.max(jnp.linalg.norm(x - x_star, axis=-1)))
+    assert err < 0.05, err  # fp32 + stiff tail near s=T bound the floor
+    # deterministic
+    np.testing.assert_array_equal(
+        x, jax.jit(lambda z: integrate_ode(gen, z, 8, method="dopri"))(x0)
+    )
+
+
+def test_dopri_trajectory_capture(rng):
+    gen, _ = _analytic_gen()
+    x0 = gen.latent_sample(rng, 8, D)
+    traj = integrate_ode(gen, x0, 16, method="dopri", keep_all=True,
+                         include_t0=True)
+    assert traj.shape == (17, 8, D)
+    np.testing.assert_array_equal(traj[0], x0)
+    traj2 = integrate_ode(gen, x0, 16, method="dopri", keep_all=True)
+    assert traj2.shape == (16, 8, D)
+    np.testing.assert_allclose(traj[-1], traj2[-1], rtol=1e-6)
+
+
+def test_dopri_msgm_norms_and_serving(rng):
+    """dopri serves MSGM (no closed-form kernel needed): finite samples,
+    radii restored exactly by the a-posteriori projection; reachable
+    through the serving dispatch (sampler='ode', method='dopri')."""
+    from sdeflow_tpu.serving import make_sampler_fn
+
+    k_model, k_data, k_sde, k_lat = jax.random.split(rng, 4)
+    x0 = jax.random.normal(k_data, (64, 4)) * 2.0
+    sde = MSGMSde.create(k_sde, x0, num_steps_forward=8)
+    model = MLP(input_dim=4, premodule="NormalizeLogRadius")
+    variables = model.init(k_model, x0[:4], jnp.zeros((4,)))
+    gen = PluginReverseSDE.create(sde, model.apply, variables)
+    lat = gen.latent_sample(k_lat, 32, 4)
+    x = integrate_ode(gen, lat, 8, method="dopri", norm_correction=True)
+    assert bool(jnp.all(jnp.isfinite(x)))
+    np.testing.assert_allclose(
+        jnp.linalg.norm(x, axis=-1), jnp.linalg.norm(lat, axis=-1), rtol=1e-5
+    )
+    fn = jax.jit(make_sampler_fn(gen, 16, 4, 8, method="dopri",
+                                 sampler="ode", norm_correction=True))
+    y = fn(jax.random.PRNGKey(3))
+    assert y.shape == (16, 4) and bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_cli_rejects_dopri_without_ode_sampler():
+    import pytest
+
+    import sdeflow_tpu.run as R
+
+    with pytest.raises(SystemExit):
+        R.main(["--preset", "swissroll_dbg", "--cpu",
+                "--backward-method", "dopri"])

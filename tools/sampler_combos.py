@@ -7,6 +7,8 @@ dispatch blocks). Combo grammar, used by both tools' --eval flags:
   sde  = rk4 reverse SDE (the reference's path)
   ode  = rk4 probability-flow ODE           (ops/ode.py)
   pc   = em + 1 Langevin corrector step     (ops/integrators.py)
+  dopri = adaptive Dormand-Prince PF-ODE    (ops/ode.py; steps = capture
+          grid only — the step size is tolerance-controlled)
   dpm   = dpm2m exponential integrator      (ops/expint.py, SGM only)
   dpm3  = dpm3m 3rd-order multistep         (ops/expint.py, SGM only)
   sdpm  = sdpm1 stochastic exponential      (ops/expint.py, SGM only)
@@ -35,6 +37,9 @@ def make_solve(samp, steps, is_msgm, dpm_grid="logsnr"):
     def _solve(g, z, k):
         if samp == "ode":
             return integrate_ode(g, z, steps, method="rk4",
+                                 norm_correction=bool(is_msgm))
+        if samp == "dopri":
+            return integrate_ode(g, z, steps, method="dopri",
                                  norm_correction=bool(is_msgm))
         if samp == "dpm":
             return integrate_dpm(g, z, steps, method="dpm2m", grid=dpm_grid)
