@@ -25,6 +25,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from jax.experimental.ode import odeint
+
 from sdeflow_tpu.ops.hutchinson import sample_v
 from sdeflow_tpu.ops.ode import _ODE_STEP_FNS
 
@@ -98,6 +100,8 @@ def exact_logp(
     n_probes=1,
     t0=None,
     return_latent=False,
+    rtol=1e-5,
+    atol=1e-5,
 ):
     """Exact log p(x) of the generative model at the data points x.
 
@@ -106,8 +110,12 @@ def exact_logp(
       x: (B, d) data batch.
       key: PRNG key for the Hutchinson probes (unused when
         divergence="exact"); probes are drawn ONCE per solve.
-      num_steps: static step count of the forward PF-ODE solve.
-      method: "euler" | "heun" | "rk4".
+      num_steps: static step count of the forward PF-ODE solve (ignored
+        by "dopri", which controls its own steps via rtol/atol).
+      method: "euler" | "heun" | "rk4" (fixed-step) or "dopri"
+        (adaptive Dormand–Prince — the tolerance-targeted likelihood
+        solve of Song et al. 2021 §D.2 / FFJORD, as one odeint program
+        over the augmented (y, ℓ) pytree state).
       divergence: "exact" (d JVPs/stage) or "hutchinson" (n_probes
         JVPs/stage, unbiased).
       t0: lower integration limit; defaults to base_sde.t_epsilon.
@@ -121,7 +129,7 @@ def exact_logp(
     t0 = jnp.asarray(base.t_epsilon if t0 is None else t0, x.dtype)
     T = jnp.asarray(gen_sde.T, x.dtype)
     delta = (T - t0) / num_steps
-    step_fn = _ODE_STEP_FNS[method]
+    step_fn = None if method == "dopri" else _ODE_STEP_FNS[method]
 
     if divergence == "hutchinson":
         if key is None:
@@ -132,13 +140,23 @@ def exact_logp(
     else:
         probes = None
     drift = _make_aug_drift(gen_sde, divergence, probes)
-
-    def body(state, i):
-        t = t0 + i.astype(x.dtype) * delta
-        return _tuple_step(step_fn, drift, t, state, delta), None
-
     init = (x, jnp.zeros((x.shape[0],), x.dtype))
-    (y_T, int_div), _ = jax.lax.scan(body, init, jnp.arange(num_steps))
+
+    if method == "dopri":
+        # odeint handles the (y, ℓ) tuple as a pytree state; clip t to
+        # the drift's valid domain (internal steps overshoot the final
+        # knot before interpolating back — see ops/ode._integrate_dopri)
+        def f_aug(state, t):
+            return drift(jnp.clip(t, t0, T), state)
+
+        ys = odeint(f_aug, init, jnp.stack([t0, T]), rtol=rtol, atol=atol)
+        y_T, int_div = ys[0][-1], ys[1][-1]
+    else:
+        def body(state, i):
+            t = t0 + i.astype(x.dtype) * delta
+            return _tuple_step(step_fn, drift, t, state, delta), None
+
+        (y_T, int_div), _ = jax.lax.scan(body, init, jnp.arange(num_steps))
 
     lp_prior = base.log_latent_pdf(y_T)
     lp_prior = lp_prior.reshape(x.shape[0], -1).sum(axis=1)
