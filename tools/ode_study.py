@@ -41,6 +41,8 @@ SAMPLER_GRID = (
     ("dpm", "dpm3m", 0),  # DPM-Solver++ 3M — SGM only, 1 NFE/step
     ("dpm", "sdpm1", 0),  # stochastic exponential integrator — SGM only
     ("dpm", "sdpm2m", 0),  # stochastic 2nd-order multistep — SGM only
+    ("ode", "dopri", 0),  # adaptive Dormand–Prince — tolerance-targeted,
+                          # one row (step count is solver-chosen; nfe null)
 )
 
 _EVALS_PER_STEP = {"em": 1, "heun": 2, "rk4": 4,
@@ -125,7 +127,9 @@ def main():
         for sampler_kind, method, corr in SAMPLER_GRID:
             if sampler_kind == "dpm" and is_msgm:
                 continue  # exponential integrators need the closed-form kernel
-            for num_steps in steps_list:
+            # adaptive: steps only set the (unused) capture grid — one row
+            arm_steps = steps_list[:1] if method == "dopri" else steps_list
+            for num_steps in arm_steps:
                 fn = jax.jit(make_sampler_fn(
                     gen, args.samples, d, num_steps, method=method,
                     norm_correction=bool(is_msgm), sampler=sampler_kind,
@@ -143,7 +147,8 @@ def main():
                     **({"dpm_grid": args.dpm_grid}
                        if sampler_kind == "dpm" and args.dpm_grid != "logsnr"
                        else {}),
-                    nfe=num_steps * (_EVALS_PER_STEP[method] + corr),
+                    nfe=(None if method == "dopri" else
+                         num_steps * (_EVALS_PER_STEP[method] + corr)),
                     sqrt_mmd=mmd, sqrt_mmd_floor=mmd_floor,
                     dropped=dropped,
                 )
