@@ -146,10 +146,11 @@ def integrate_dpm(
         (see module docstring).
       grid: "logsnr" (default) | "time" | "karras" (EDM ρ=7 schedule).
       keep_all / include_t0: trajectory capture, as in integrate_ode.
-      key: PRNG key — required by (and only by) the stochastic "sdpm1".
+      key: PRNG key — required by (and only by) the stochastic methods
+        "sdpm1" and "sdpm2m".
 
-    The dpm1/dpm2/dpm2m paths are deterministic (no PRNG key), like
-    ``ops.ode.integrate_ode``; sdpm1 solves the reverse diffusion SDE.
+    The dpm1/dpm2/dpm2m/dpm3m paths are deterministic (no PRNG key), like
+    ``ops.ode.integrate_ode``; sdpm1/sdpm2m solve the reverse diffusion SDE.
     """
     if method not in _NFE_PER_STEP:
         raise ValueError(

@@ -49,6 +49,12 @@ def rk4_ode_step(drift, t, x, delta):
 _ODE_STEP_FNS = {"em": euler_ode_step, "euler": euler_ode_step,
                  "heun": heun_ode_step, "rk4": rk4_ode_step}
 
+# Default "dopri" error-control tolerances. Named so result artifacts
+# (tools/ode_study.py rows) can record the values that actually governed
+# an adaptive solve instead of hardcoding a copy.
+DOPRI_RTOL = 1e-5
+DOPRI_ATOL = 1e-5
+
 
 def integrate_ode(
     flow,
@@ -60,8 +66,8 @@ def integrate_ode(
     norm_correction=False,
     keep_all=False,
     include_t0=False,
-    rtol=1e-5,
-    atol=1e-5,
+    rtol=DOPRI_RTOL,
+    atol=DOPRI_ATOL,
 ):
     """Integrate the reverse-time probability-flow ODE dx/ds = mu_ode(s, x)
     for `num_steps` uniform steps in one lax.scan.

@@ -77,6 +77,7 @@ def main():
     from sdeflow_tpu.eval import compute_mmd
     from sdeflow_tpu.eval.diagnostics import filter_blowups
     from sdeflow_tpu.models import MLP
+    from sdeflow_tpu.ops.ode import DOPRI_ATOL, DOPRI_RTOL
     from sdeflow_tpu.sde import MSGMSde, PluginReverseSDE, SGMSde
     from sdeflow_tpu.serving import make_sampler_fn
     from sdeflow_tpu.training import Trainer
@@ -143,7 +144,13 @@ def main():
                 ) ** 0.5
                 row = dict(
                     arm=arm, sampler=sampler_kind, method=method,
-                    steps=num_steps, corrector_steps=corr,
+                    # adaptive: the step count is solver-chosen, governed
+                    # by the tolerances (ops/ode.py defaults) — record
+                    # those instead of the meaningless capture-grid size
+                    steps=(None if method == "dopri" else num_steps),
+                    **({"rtol": DOPRI_RTOL, "atol": DOPRI_ATOL}
+                       if method == "dopri" else {}),
+                    corrector_steps=corr,
                     **({"dpm_grid": args.dpm_grid}
                        if sampler_kind == "dpm" and args.dpm_grid != "logsnr"
                        else {}),

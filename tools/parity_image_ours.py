@@ -33,10 +33,12 @@ def main():
     ap.add_argument("--eval", default=None,
                     help="comma list of sampler:steps combos to evaluate on "
                          "the SAME trained model (sde = rk4 reverse SDE, "
-                         "the reference path; ode = rk4 PF-ODE; pc = em + 1 "
-                         "Langevin corrector step; dpm = dpm2m and sdpm = "
-                         "stochastic sdpm1, SGM arm "
-                         "only). Default: sde:<steps-back>")
+                         "the reference path; ode = rk4 PF-ODE; dopri = "
+                         "adaptive Dormand-Prince PF-ODE; pc = em + 1 "
+                         "Langevin corrector step; dpm/dpm3 = dpm2m/dpm3m "
+                         "and sdpm/sdpm2 = stochastic sdpm1/sdpm2m, SGM arm "
+                         "only — full grammar in tools/sampler_combos.py). "
+                         "Default: sde:<steps-back>")
     ap.add_argument("--dpm-grid", default="logsnr",
                     choices=["logsnr", "time", "karras"],
                     help="time grid for dpm/sdpm/sdpm2 combos")
