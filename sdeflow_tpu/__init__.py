@@ -35,7 +35,7 @@ from sdeflow_tpu.ops.integrators import (
     rk4_stratonovich_sampler,
     integrate_sde,
 )
-from sdeflow_tpu.ops.ode import integrate_ode
+from sdeflow_tpu.ops.ode import encode_ode, integrate_ode
 
 __all__ = [
     "beta_linear",
@@ -46,5 +46,6 @@ __all__ = [
     "heun_sampler",
     "rk4_stratonovich_sampler",
     "integrate_sde",
+    "encode_ode",
     "integrate_ode",
 ]

@@ -21,7 +21,8 @@ from sdeflow_tpu.ops.hutchinson import (
     hutchinson_div,
 )
 from sdeflow_tpu.ops.kde import gaussian_kde_logpdf, gaussian_kde_sample
-from sdeflow_tpu.ops.ode import integrate_ode, probability_flow_sampler
+from sdeflow_tpu.ops.ode import (encode_ode, integrate_ode,
+                                 probability_flow_sampler)
 from sdeflow_tpu.ops.expint import integrate_dpm
 
 __all__ = [
@@ -43,6 +44,7 @@ __all__ = [
     "hutchinson_div",
     "gaussian_kde_logpdf",
     "gaussian_kde_sample",
+    "encode_ode",
     "integrate_ode",
     "probability_flow_sampler",
     "integrate_dpm",

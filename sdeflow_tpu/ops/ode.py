@@ -154,4 +154,50 @@ def _integrate_dopri(flow, x0, num_steps, *, T, rtol, atol,
     return ys if include_t0 else ys[1:]
 
 
+def encode_ode(
+    flow,
+    x,
+    num_steps,
+    *,
+    method="rk4",
+    T=None,
+    norm_correction=False,
+    keep_all=False,
+    include_t0=False,
+    rtol=DOPRI_RTOL,
+    atol=DOPRI_ATOL,
+):
+    """Encode data into the PF-ODE latent space: integrate the FORWARD-time
+    probability-flow ODE dy/dt = f − ½∇·Σ − ½Σ∇log p from t=0 (data) to
+    t=T (the latent prior). Exact inverse of `integrate_ode` — for any
+    drift field, trained or not — up to integration error, so
+    ``integrate_ode(flow, encode_ode(flow, x, n), n) ≈ x``.
+
+    This is the likelihood solve of `eval.nll.exact_logp` WITHOUT the
+    divergence accumulation (no per-step JVP), so it is the cheap path
+    for deterministic inversion, interpolation, and editing workflows.
+    No reference counterpart (the reference has no deterministic
+    transport at all; its solvers are the stochastic sde_scheme.py ones).
+
+    Args match `integrate_ode`; the forward-time drift is its reverse-clock
+    drift mirrored, −mu_ode(T − t, y), so every method ("euler" | "heun" |
+    "rk4" | adaptive "dopri") and `norm_correction` (MSGM radial
+    re-projection) work identically in this direction.
+    """
+    T_ = flow.T if T is None else T
+
+    class _Enc:  # minimal flow view: integrate_ode reads only .T / .mu_ode
+        T = T_
+
+        @staticmethod
+        def mu_ode(t, y):
+            return -flow.mu_ode(T_ - t, y)
+
+    return integrate_ode(
+        _Enc, x, num_steps, method=method, T=T_,
+        norm_correction=norm_correction, keep_all=keep_all,
+        include_t0=include_t0, rtol=rtol, atol=atol,
+    )
+
+
 probability_flow_sampler = partial(integrate_ode, method="rk4")

@@ -274,3 +274,67 @@ def test_dopri_exact_logp_matches_closed_form(rng):
                           return_latent=True)
     np.testing.assert_allclose(lp, lp2, rtol=1e-6)
     assert y_T.shape == x.shape
+
+
+# -- encode (deterministic inversion) -------------------------------------------
+
+
+def test_encode_ode_inverts_decode(rng):
+    """encode_ode is the exact inverse of integrate_ode for ANY drift
+    field (inversion needs no trained score — only time-mirroring)."""
+    k_model, k_lat = jax.random.split(rng)
+    model = MLP(input_dim=D)
+    sde = SGMSde.create(t_epsilon=1e-4, num_steps_forward=16)
+    variables = model.init(k_model, jnp.zeros((4, D)), jnp.zeros((4,)))
+    gen = PluginReverseSDE.create(sde, model.apply, variables)
+    from sdeflow_tpu.ops.ode import encode_ode
+
+    z = gen.latent_sample(k_lat, 32, D)
+    x = integrate_ode(gen, z, 256, method="rk4")
+    z_rec = encode_ode(gen, x, 256, method="rk4")
+    np.testing.assert_allclose(z_rec, z, atol=5e-3, rtol=0)
+
+
+def test_encode_ode_matches_likelihood_latent(rng):
+    """Same transport as exact_logp's augmented solve, minus the
+    divergence accumulation."""
+    gen, cov0 = _analytic_gen(t_epsilon=1e-4)
+    from sdeflow_tpu.ops.ode import encode_ode
+
+    x = _sample_data(rng, cov0, 32)
+    _, y_T = exact_logp(
+        gen, x, num_steps=128, divergence="exact", return_latent=True
+    )
+    z = encode_ode(gen, x, 128, method="rk4")
+    np.testing.assert_allclose(z, y_T, atol=1e-4, rtol=0)
+    # and the full round trip closes
+    x_rec = integrate_ode(gen, z, 128, method="rk4")
+    np.testing.assert_allclose(x_rec, x, atol=5e-3, rtol=0)
+
+
+def test_encode_ode_dopri_roundtrip(rng):
+    gen, cov0 = _analytic_gen(t_epsilon=1e-4)
+    from sdeflow_tpu.ops.ode import encode_ode
+
+    x = _sample_data(rng, cov0, 16)
+    z = encode_ode(gen, x, 8, method="dopri")
+    x_rec = integrate_ode(gen, z, 8, method="dopri")
+    assert z.shape == x.shape and bool(jnp.isfinite(z).all())
+    np.testing.assert_allclose(x_rec, x, atol=5e-3, rtol=0)
+
+
+def test_encode_ode_msgm_norm_correction(rng):
+    k_model, k_data, k_sde = jax.random.split(rng, 3)
+    x0 = jax.random.normal(k_data, (64, 4)) * 2.0
+    sde = MSGMSde.create(k_sde, x0, num_steps_forward=8)
+    model = MLP(input_dim=4, premodule="NormalizeLogRadius")
+    variables = model.init(k_model, x0[:4], jnp.zeros((4,)))
+    gen = PluginReverseSDE.create(sde, model.apply, variables)
+    from sdeflow_tpu.ops.ode import encode_ode
+
+    x = x0[:16]
+    z = encode_ode(gen, x, 32, norm_correction=True)
+    # MSGM transport is radius-preserving; the projection pins it exactly
+    np.testing.assert_allclose(
+        jnp.linalg.norm(z, axis=-1), jnp.linalg.norm(x, axis=-1), rtol=1e-5
+    )
