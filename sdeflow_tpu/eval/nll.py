@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental.ode import odeint
 
 from sdeflow_tpu.ops.hutchinson import sample_v
-from sdeflow_tpu.ops.ode import _ODE_STEP_FNS
+from sdeflow_tpu.ops.ode import _ODE_STEP_FNS, DOPRI_ATOL, DOPRI_RTOL
 
 
 def _pf_field(gen_sde, t, y):
@@ -100,8 +100,9 @@ def exact_logp(
     n_probes=1,
     t0=None,
     return_latent=False,
-    rtol=1e-5,
-    atol=1e-5,
+    prior="exact",
+    rtol=DOPRI_RTOL,
+    atol=DOPRI_ATOL,
 ):
     """Exact log p(x) of the generative model at the data points x.
 
@@ -120,6 +121,13 @@ def exact_logp(
         JVPs/stage, unbiased).
       t0: lower integration limit; defaults to base_sde.t_epsilon.
       return_latent: also return y_T (the ODE encoding of x).
+      prior: "exact" (default) evaluates the latent prior with the SDE's
+        properly normalized density (`log_latent_pdf_exact` where defined
+        — MSGM's radial law; SGM's Gaussian is already exact), so the
+        result is a true log-likelihood. "model" forces the
+        reference-faithful `log_latent_pdf` (for MSGM that reproduces the
+        reference's acknowledged mis-normalization, SDEs.py:504-505 — the
+        quantity its ELBO is built on, comparable but not normalized).
 
     Returns:
       (B,) log-densities in nats (and y_T if return_latent).
@@ -158,7 +166,13 @@ def exact_logp(
 
         (y_T, int_div), _ = jax.lax.scan(body, init, jnp.arange(num_steps))
 
-    lp_prior = base.log_latent_pdf(y_T)
+    if prior == "exact":
+        lp_fn = getattr(base, "log_latent_pdf_exact", base.log_latent_pdf)
+    elif prior == "model":
+        lp_fn = base.log_latent_pdf
+    else:
+        raise ValueError(f"unknown prior {prior!r} (exact|model)")
+    lp_prior = lp_fn(y_T)
     lp_prior = lp_prior.reshape(x.shape[0], -1).sum(axis=1)
     logp = lp_prior + int_div
     if return_latent:

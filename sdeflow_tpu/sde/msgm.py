@@ -259,6 +259,41 @@ class MSGMSde(SDEBehavior):
             gaussian_kde_logpdf(r, self.r_T, self.kde_bandwidth) - self.cst_log_dens
         )
 
+    def log_latent_pdf_exact(self, yT):
+        """Properly normalized log density of the latent law x = r·s.
+
+        The latent draw is r from the radial KDE law and s uniform on the
+        sphere, so the exact density on R^d is
+
+            p(x) = p_r(‖x‖) / (S_{d−1} ‖x‖^{d−1}),   S_{d−1} = 2π^{d/2}/Γ(d/2),
+
+        with, under the log map (u = log(r+ε) is KDE-distributed),
+        p_r(r) = p_u(log(r+ε))/(r+ε). Unlike `log_latent_pdf` — which
+        reproduces the reference's acknowledged approximations
+        (SDEs.py:504-505: missing surface factor, log-map mismatch) — this
+        integrates to 1 over R^d, so `eval.nll.exact_logp` yields a true
+        normalized likelihood for MSGM; the reference has no normalized
+        MSGM likelihood at all. It is the exact density of the
+        norm_sampler="kde" draw; the default "ecdf" draw is its
+        bandwidth→0 empirical counterpart. Returns (B,).
+        """
+        d = float(self.dim)
+        r = jnp.linalg.norm(yT, axis=1)
+        if self.norm_map == "log":
+            u = jnp.log(r + _LOG_EPS)
+            log_pr = (
+                gaussian_kde_logpdf(u, self.r_T, self.kde_bandwidth)
+                - jnp.log(r + _LOG_EPS)
+            )
+        else:
+            log_pr = gaussian_kde_logpdf(r, self.r_T, self.kde_bandwidth)
+        log_sphere_area = (
+            jnp.log(2.0)
+            + 0.5 * d * jnp.log(jnp.pi)
+            - jax.scipy.special.gammaln(0.5 * d)
+        )
+        return log_pr - log_sphere_area - (d - 1.0) * jnp.log(r)
+
     # -- diagnostics -------------------------------------------------------------
     def beta_G(self):
         """Normalization invariant β_G = −2 tr(L_G)/d; equals 1 after the
