@@ -85,6 +85,11 @@ class SweepConfig:
     fair_comparison: bool = True
     ssm_intT_ref: bool = False
     eval_mmd: bool = False
+    # exact-NLL eval of each trained arm via the PF-ODE likelihood
+    # (eval/nll.py; no reference counterpart — the reference only has the
+    # ELBO bound). Reported in bits/dim and saved to nll_bits_per_dim.json.
+    eval_nll: bool = False
+    nll_steps: int = 64  # PF-ODE likelihood-solve step count
     num_samples: int = 10_000
     include_t0_reverse: bool = True
     Res: Tuple[int, ...] = (300, 3900)  # POD Reynolds numbers

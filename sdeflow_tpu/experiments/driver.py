@@ -206,6 +206,7 @@ class ExperimentDriver:
         self.log = log_fn
         self.make_plots = make_plots
         self.results = {}
+        self.nll_results = {}
         # optional device mesh ("data", "model"): batches are sharded over
         # "data" (DP) and, when the "model" axis is >1, score-net params are
         # tensor-sharded by the per-architecture TP rules. No reference
@@ -378,7 +379,8 @@ class ExperimentDriver:
 
         self.results = dict(mmd_sgm=mmd_sgm, mmd_msgm=mmd_msgm,
                             mmd_ref=mmd_ref, dims=dims,
-                            complexitys=complexitys)
+                            complexitys=complexitys,
+                            nll_bits_per_dim=self.nll_results)
         if sw.eval_mmd:
             self._save_mmd_arrays(folder_results)
             if self.make_plots:
@@ -474,6 +476,8 @@ class ExperimentDriver:
                 os.path.join(folder_results, name_root + "_checkpoint_final"),
                 state, key_train, iterations - 1,
             )
+            if sw.eval_nll:
+                self._eval_nll(gen, xtest, key_train, name_root)
 
         # theoretical pdf overlay for uncorrelated gaussian/cauchy
         # (reference MSGM_higherDim.py:522-558: plot_ref_pdf + pdf_theor)
@@ -572,6 +576,40 @@ class ExperimentDriver:
                             mmd_msgm[idx] = out["mmd"]
                         else:
                             mmd_sgm[idx] = out["mmd"]
+
+    def _eval_nll(self, gen, xtest, key, name_root):
+        """Exact NLL (bits/dim) of a trained arm via the PF-ODE likelihood
+        with the normalized latent prior (eval/nll.py). No reference
+        counterpart: the reference only prints the ELBO bound
+        (NN.py:123-128), and its MSGM latent density is acknowledged-
+        unnormalized (SDEs.py:504-505). Hutchinson divergence — one probe
+        JVP per stage — so the cost scales with steps, not d."""
+        import json
+
+        from sdeflow_tpu.eval.nll import nll_bits_per_dim
+
+        sw = self.cfg.sweep
+        x = xtest[: min(512, xtest.shape[0])]
+        bpd = jax.jit(
+            lambda xx, kk: nll_bits_per_dim(
+                gen, xx, kk, num_steps=sw.nll_steps, divergence="hutchinson",
+            )
+        )(x, jax.random.fold_in(key, 999))
+        bpd = np.asarray(bpd)
+        finite = bpd[np.isfinite(bpd)]
+        entry = dict(
+            mean=float(finite.mean()),
+            stderr=float(finite.std() / max(1, finite.size) ** 0.5),
+            n=int(finite.size), steps=int(sw.nll_steps),
+        )
+        self.nll_results[name_root] = entry
+        self.log(
+            f"NLL = {entry['mean']:.4f} ± {entry['stderr']:.4f} bits/dim "
+            f"(exact PF-ODE likelihood, {entry['n']} test points)"
+        )
+        path = os.path.join(self.cfg.results_dir, "nll_bits_per_dim.json")
+        with open(path, "w") as f:
+            json.dump(self.nll_results, f, indent=1)
 
     def _mmd_path(self, folder, arm):
         """Single source of truth for the MMD result-tensor filenames

@@ -44,6 +44,10 @@ def build_parser():
                         "EDM rho=7 noise schedule)")
     p.add_argument("--eval-mmd", action="store_true",
                    help="compute the MMD result tensors")
+    p.add_argument("--eval-nll", action="store_true",
+                   help="report each trained arm's exact NLL (bits/dim) via "
+                        "the PF-ODE likelihood (normalized prior; the "
+                        "reference only has the ELBO bound)")
     p.add_argument("--no-plots", action="store_true")
     p.add_argument("--just-load", action="store_true",
                    help="reload saved sample trajectories instead of sampling")
@@ -158,6 +162,8 @@ def main(argv=None):
         sweep = replace(sweep, snr=args.snr)
     if args.eval_mmd:
         sweep = replace(sweep, eval_mmd=True)
+    if args.eval_nll:
+        sweep = replace(sweep, eval_nll=True)
     if args.print_ram:
         cfg = replace(cfg, train=replace(cfg.train, print_ram=True))
     if args.ema_rate is not None:
@@ -192,6 +198,9 @@ def main(argv=None):
         print("sqrt-MMD SGM:", np.sqrt(np.maximum(results["mmd_sgm"], 0)).mean())
         print("sqrt-MMD MSGM:", np.sqrt(np.maximum(results["mmd_msgm"], 0)).mean())
         print("sqrt-MMD floor:", np.sqrt(np.maximum(results["mmd_ref"], 0)).mean())
+    if args.eval_nll and results.get("nll_bits_per_dim"):
+        for arm, v in results["nll_bits_per_dim"].items():
+            print(f"NLL bits/dim [{arm}]: {v['mean']:.4f} ± {v['stderr']:.4f}")
     return results
 
 

@@ -363,6 +363,38 @@ def test_run_cli_flag_plumbing(monkeypatch, tmp_path):
     assert cfg.train.ema_rate == 0.97
     assert cfg.train.print_ram is True
 
+    R.main(["--preset", "swissroll_dbg", "--cpu", "--eval-nll", "--no-plots",
+            "--results-dir", str(tmp_path / "r3")])
+    assert captured["cfg"].sweep.eval_nll is True
+
     with pytest.raises(SystemExit):
         R.main(["--preset", "grf16_dbg", "--cpu", "--attention-impl", "ring",
                 "--no-plots", "--results-dir", str(tmp_path / "r2")])
+
+
+def test_driver_eval_nll(rng, tmp_path, monkeypatch):
+    """--eval-nll reports each trained arm's exact PF-ODE NLL (bits/dim)
+    and persists nll_bits_per_dim.json — the likelihood eval the reference
+    does not have (its NN.py:123-128 only prints the ELBO bound)."""
+    import json
+    from dataclasses import replace
+
+    monkeypatch.chdir(tmp_path)
+    cfg = get_preset("swissroll_dbg")
+    cfg = replace(
+        cfg,
+        sweep=replace(cfg.sweep, eval_nll=True, nll_steps=8, num_samples=32,
+                      iterationss=(8,), num_stepss_backward=(4,),
+                      ntrain_maxs=(np.inf,)),
+        results_dir=str(tmp_path / "results"),
+    )
+    logs = []
+    driver = ExperimentDriver(cfg, log_fn=logs.append, make_plots=False)
+    results = driver.run(jax.random.PRNGKey(0))
+    nll = results["nll_bits_per_dim"]
+    assert len(nll) == 2  # one entry per trained arm (SGM + MSGM)
+    for v in nll.values():
+        assert np.isfinite(v["mean"]) and v["n"] > 0 and v["steps"] == 8
+    assert any("bits/dim" in l for l in logs)
+    with open(tmp_path / "results" / "nll_bits_per_dim.json") as f:
+        assert json.load(f).keys() == nll.keys()
