@@ -125,6 +125,23 @@ def main():
         mmd_floor = float(compute_mmd(xtrain, xtest)) ** 0.5
         k_solve = jax.random.fold_in(key, 4)
 
+        # exact PF-ODE likelihood of the trained arm (eval/nll.py,
+        # normalized latent prior) — the density-fit axis alongside the
+        # sample-space sqrt-MMD rows; no reference counterpart (ELBO only)
+        from sdeflow_tpu.eval.nll import nll_bits_per_dim
+
+        bpd = jax.jit(lambda xx, kk: nll_bits_per_dim(
+            gen, xx, kk, num_steps=64, divergence="hutchinson",
+        ))(xtest[:512], jax.random.fold_in(key, 7))
+        bpd = bpd[jnp.isfinite(bpd)]
+        out[f"nll_bits_per_dim_{arm.lower()}"] = dict(
+            mean=float(bpd.mean()),
+            stderr=float(bpd.std() / max(1, bpd.shape[0]) ** 0.5),
+            n=int(bpd.shape[0]), steps=64,
+        )
+        print(f"{arm} exact NLL = {float(bpd.mean()):.4f} bits/dim",
+              flush=True)
+
         for sampler_kind, method, corr in SAMPLER_GRID:
             if sampler_kind == "dpm" and is_msgm:
                 continue  # exponential integrators need the closed-form kernel
