@@ -6,7 +6,9 @@ TPU-native rewrite of the reference's `MSGMsde` (reference: SDEs.py:221-509):
   structured circulant variant, applied as a jnp.roll stencil instead of the
   reference's COO scatter_add (see `sdeflow_tpu.ops.gapply`).
 - The radial latent prior (empirical law of ‖y_0‖) lives on device: ecdf
-  sampling is `jnp.quantile(r_T, U)` and the KDE is a jnp Gaussian mixture
+  sampling is inverse-cdf interpolation over the (sorted-at-create) norms —
+  the exact law of `jnp.quantile(r_T, U)` with no in-program sort — and the
+  KDE is a jnp Gaussian mixture
   (`sdeflow_tpu.ops.kde`) — the reference round-trips to sklearn on host
   (SDEs.py:239-240, 444, 503-509).
 - Immutable pytree; every sampler takes an explicit PRNG key.
@@ -58,7 +60,9 @@ class MSGMSde(SDEBehavior):
     L_G: Optional[jnp.ndarray]
 
     # radial prior state
-    r_T: jnp.ndarray  # (N,) (possibly log-mapped) training norms
+    r_T: jnp.ndarray  # (N,) (possibly log-mapped) training norms, SORTED
+    # ascending — create() establishes this; gen_radial_distribution's
+    # inverse-cdf interp relies on it
     kde_bandwidth: jnp.ndarray
     cst_log_dens: jnp.ndarray
 
@@ -113,6 +117,13 @@ class MSGMSde(SDEBehavior):
         if norm_map == "log":
             r_T = jnp.log(r_T + _LOG_EPS)
         bandwidth = 0.1 * jnp.std(r_T)
+        # Sort ONCE, eagerly: the ecdf inverse-cdf draw then becomes a
+        # jnp.interp over a sorted constant instead of jnp.quantile, whose
+        # embedded sort XLA constant-folds in its (interpreter-speed)
+        # evaluator inside EVERY compiled sampling program — multi-second
+        # compile cost per program shape at N=1e5. Order is irrelevant to
+        # the KDE uses of r_T (mixture centers). Exact-same sampling law.
+        r_T = jnp.sort(r_T)
 
         if dense_tensor:
             G, L_G = make_dense_G(key, dim, dtype=dtype)
@@ -221,7 +232,12 @@ class MSGMSde(SDEBehavior):
         radii clamped to 0 when no log map)."""
         if self.norm_sampler == "ecdf":
             u = jax.random.uniform(key, (num_samples,))
-            r = jnp.quantile(self.r_T, u)
+            # inverse empirical cdf with linear interpolation — identical
+            # to jnp.quantile(r_T, u) (r_T is stored sorted by create()),
+            # but with no sort inside the compiled program
+            n = self.r_T.shape[0]
+            r = jnp.interp(u * (n - 1), jnp.arange(n, dtype=u.dtype),
+                           self.r_T)
         else:
             r = gaussian_kde_sample(key, self.r_T, self.kde_bandwidth, num_samples)
             if self.norm_map != "log":

@@ -203,3 +203,24 @@ def test_project_training_norms_option(rng):
         jnp.linalg.norm(traj[-1], axis=1), jnp.linalg.norm(y0, axis=1),
         rtol=1e-4,
     )
+
+
+def test_ecdf_interp_matches_quantile(rng):
+    """The sorted-interp inverse-cdf draw is the exact law of
+    jnp.quantile(r_T, u) — same linear interpolation between order
+    statistics — without embedding a sort in the compiled program."""
+    k_data, k_sde, k_u = jax.random.split(rng, 3)
+    y0 = jax.random.normal(k_data, (1000, 3)) * 2.0
+    sde = MSGMSde.create(k_sde, y0, num_steps_forward=4, norm_map="log")
+    u = jax.random.uniform(k_u, (4096,))
+    expect = jnp.exp(jnp.quantile(sde.r_T, u)) - 1e-6
+    r = jax.jit(lambda k: sde.gen_radial_distribution(k, 4096))
+    # reproduce the same uniforms the method draws internally
+    got = jnp.exp(
+        jnp.interp(u * (sde.r_T.shape[0] - 1),
+                   jnp.arange(sde.r_T.shape[0], dtype=u.dtype), sde.r_T)
+    ) - 1e-6
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)
+    # and the public draw stays finite/positive with the right shape
+    out = r(k_u)
+    assert out.shape == (4096, 1) and bool(jnp.all(jnp.isfinite(out)))
