@@ -186,3 +186,33 @@ def nll_bits_per_dim(gen_sde, x, key=None, **kwargs):
     logp = exact_logp(gen_sde, x, key, **kwargs)
     d = x.reshape(x.shape[0], -1).shape[1]
     return -logp / (d * jnp.log(2.0))
+
+
+def nll_summary(gen_sde, x, key, *, num_steps=64, max_points=512,
+                divergence="hutchinson", **kwargs):
+    """One measurement protocol for reporting a trained model's NLL:
+    bits/dim over (at most max_points of) a test batch, Hutchinson
+    divergence by default, non-finite values dropped. Returns
+    {mean, stderr, n, steps} with None mean/stderr when NO point is
+    finite (a diverged arm) — callers can json.dump it as-is (strict
+    JSON has no NaN). Shared by the experiment driver's --eval-nll and
+    tools/ode_study.py so their artifacts use identical numbers."""
+    import numpy as np
+
+    x = x[: min(max_points, x.shape[0])]
+    bpd = jax.jit(
+        lambda xx, kk: nll_bits_per_dim(
+            gen_sde, xx, kk, num_steps=num_steps, divergence=divergence,
+            **kwargs,
+        )
+    )(x, key)
+    bpd = np.asarray(bpd)
+    finite = bpd[np.isfinite(bpd)]
+    if finite.size == 0:
+        return dict(mean=None, stderr=None, n=0, steps=int(num_steps))
+    return dict(
+        mean=float(finite.mean()),
+        stderr=float(finite.std() / finite.size ** 0.5),
+        n=int(finite.size),
+        steps=int(num_steps),
+    )

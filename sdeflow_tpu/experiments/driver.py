@@ -478,6 +478,11 @@ class ExperimentDriver:
             )
             if sw.eval_nll:
                 self._eval_nll(gen, xtest, key_train, name_root)
+        elif sw.eval_nll:
+            self.log(
+                "eval_nll skipped: --just-load restores saved samples, "
+                "not a trained model"
+            )
 
         # theoretical pdf overlay for uncorrelated gaussian/cauchy
         # (reference MSGM_higherDim.py:522-558: plot_ref_pdf + pdf_theor)
@@ -579,34 +584,26 @@ class ExperimentDriver:
 
     def _eval_nll(self, gen, xtest, key, name_root):
         """Exact NLL (bits/dim) of a trained arm via the PF-ODE likelihood
-        with the normalized latent prior (eval/nll.py). No reference
-        counterpart: the reference only prints the ELBO bound
-        (NN.py:123-128), and its MSGM latent density is acknowledged-
-        unnormalized (SDEs.py:504-505). Hutchinson divergence — one probe
-        JVP per stage — so the cost scales with steps, not d."""
+        with the normalized latent prior (eval/nll.py nll_summary — the
+        shared measurement protocol). No reference counterpart: the
+        reference only prints the ELBO bound (NN.py:123-128), and its MSGM
+        latent density is acknowledged-unnormalized (SDEs.py:504-505)."""
         import json
 
-        from sdeflow_tpu.eval.nll import nll_bits_per_dim
+        from sdeflow_tpu.eval.nll import nll_summary
 
-        sw = self.cfg.sweep
-        x = xtest[: min(512, xtest.shape[0])]
-        bpd = jax.jit(
-            lambda xx, kk: nll_bits_per_dim(
-                gen, xx, kk, num_steps=sw.nll_steps, divergence="hutchinson",
-            )
-        )(x, jax.random.fold_in(key, 999))
-        bpd = np.asarray(bpd)
-        finite = bpd[np.isfinite(bpd)]
-        entry = dict(
-            mean=float(finite.mean()),
-            stderr=float(finite.std() / max(1, finite.size) ** 0.5),
-            n=int(finite.size), steps=int(sw.nll_steps),
+        entry = nll_summary(
+            gen, xtest, jax.random.fold_in(key, 999),
+            num_steps=self.cfg.sweep.nll_steps,
         )
         self.nll_results[name_root] = entry
-        self.log(
-            f"NLL = {entry['mean']:.4f} ± {entry['stderr']:.4f} bits/dim "
-            f"(exact PF-ODE likelihood, {entry['n']} test points)"
-        )
+        if entry["mean"] is None:
+            self.log("NLL: no finite log-density (diverged arm?)")
+        else:
+            self.log(
+                f"NLL = {entry['mean']:.4f} ± {entry['stderr']:.4f} bits/dim "
+                f"(exact PF-ODE likelihood, {entry['n']} test points)"
+            )
         path = os.path.join(self.cfg.results_dir, "nll_bits_per_dim.json")
         with open(path, "w") as f:
             json.dump(self.nll_results, f, indent=1)

@@ -161,6 +161,7 @@ def encode_ode(
     *,
     method="rk4",
     T=None,
+    t0=0.0,
     norm_correction=False,
     keep_all=False,
     include_t0=False,
@@ -168,33 +169,41 @@ def encode_ode(
     atol=DOPRI_ATOL,
 ):
     """Encode data into the PF-ODE latent space: integrate the FORWARD-time
-    probability-flow ODE dy/dt = f − ½∇·Σ − ½Σ∇log p from t=0 (data) to
-    t=T (the latent prior). Exact inverse of `integrate_ode` — for any
-    drift field, trained or not — up to integration error, so
+    probability-flow ODE dy/dt = f − ½∇·Σ − ½Σ∇log p from t=t0 (data) to
+    t=T (the latent prior). With the default t0=0 it is the exact inverse
+    of `integrate_ode` (which solves the full reversed [0, T] span) — for
+    any drift field, trained or not — up to integration error, so
     ``integrate_ode(flow, encode_ode(flow, x, n), n) ≈ x``.
 
-    This is the likelihood solve of `eval.nll.exact_logp` WITHOUT the
+    This is the same transport as `eval.nll.exact_logp` WITHOUT the
     divergence accumulation (no per-step JVP), so it is the cheap path
     for deterministic inversion, interpolation, and editing workflows.
+    Note exact_logp starts at t0 = base_sde.t_epsilon (the score net is
+    untrained below it) — pass ``t0=flow.base_sde.t_epsilon`` to
+    reproduce its y_T latent exactly; keep t0=0 to invert the sampler.
     No reference counterpart (the reference has no deterministic
     transport at all; its solvers are the stochastic sde_scheme.py ones).
 
-    Args match `integrate_ode`; the forward-time drift is its reverse-clock
-    drift mirrored, −mu_ode(T − t, y), so every method ("euler" | "heun" |
-    "rk4" | adaptive "dopri") and `norm_correction` (MSGM radial
-    re-projection) work identically in this direction.
+    Other args match `integrate_ode`; the forward-time drift is its
+    reverse-clock drift mirrored, −mu_ode(T − t, y), so every method
+    ("euler" | "heun" | "rk4" | adaptive "dopri") and `norm_correction`
+    (MSGM radial re-projection) work identically in this direction.
     """
     T_ = flow.T if T is None else T
+    t0 = jnp.asarray(t0, jnp.asarray(x).dtype)
+    span = T_ - t0
 
     class _Enc:  # minimal flow view: integrate_ode reads only .T / .mu_ode
-        T = T_
+        T = span
 
         @staticmethod
-        def mu_ode(t, y):
-            return -flow.mu_ode(T_ - t, y)
+        def mu_ode(tau, y):
+            # forward clock t = t0 + tau over [t0, T]; mu_ode's reverse
+            # clock is s = T − t, so s = span − tau
+            return -flow.mu_ode(span - tau, y)
 
     return integrate_ode(
-        _Enc, x, num_steps, method=method, T=T_,
+        _Enc, x, num_steps, method=method, T=span,
         norm_correction=norm_correction, keep_all=keep_all,
         include_t0=include_t0, rtol=rtol, atol=atol,
     )

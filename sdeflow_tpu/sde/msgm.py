@@ -289,9 +289,13 @@ class MSGMSde(SDEBehavior):
         (SDEs.py:504-505: missing surface factor, log-map mismatch) — this
         integrates to 1 over R^d, so `eval.nll.exact_logp` yields a true
         normalized likelihood for MSGM; the reference has no normalized
-        MSGM likelihood at all. It is the exact density of the
-        norm_sampler="kde" draw; the default "ecdf" draw is its
-        bandwidth→0 empirical counterpart. Returns (B,).
+        MSGM likelihood at all. Under the log map it is the exact density
+        of the norm_sampler="kde" draw; with norm_map=None the kde draw
+        clamps negative radii to 0 (gen_radial_distribution), so this
+        density ignores that truncation atom — exact only when the KDE
+        places no mass below 0 (training radii ≫ bandwidth, the practical
+        case). The default "ecdf" draw is the bandwidth→0 empirical
+        counterpart either way. Returns (B,).
         """
         d = float(self.dim)
         r = jnp.linalg.norm(yT, axis=1)

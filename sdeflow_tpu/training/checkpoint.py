@@ -76,7 +76,24 @@ def load_checkpoint(path, state_template, key_template) -> Tuple:
         ),
     )
     key = jax.random.wrap_key_data(restored["key"])
-    return restored["state"], key, int(restored["iteration"])
+    return _restore_invariants(restored["state"]), key, int(restored["iteration"])
+
+
+def _restore_invariants(state):
+    """Re-establish eager pytree invariants a raw restore can't know about:
+    MSGMSde.r_T must be sorted ascending (MSGMSde.create sorts it; the ecdf
+    inverse-cdf interp in gen_radial_distribution relies on it, and a
+    checkpoint written before that invariant existed holds unsorted norms —
+    jnp.interp over unsorted values would silently corrupt the latent law).
+    Sorting is idempotent and runs once, eagerly, at restore."""
+    base = getattr(getattr(state, "gen_sde", None), "base_sde", None)
+    if base is not None and hasattr(base, "r_T"):
+        state = state.replace(
+            gen_sde=state.gen_sde.replace(
+                base_sde=base.replace(r_T=jnp.sort(base.r_T))
+            )
+        )
+    return state
 
 
 def delete_checkpoint(path) -> None:

@@ -305,7 +305,9 @@ def test_encode_ode_matches_likelihood_latent(rng):
     _, y_T = exact_logp(
         gen, x, num_steps=128, divergence="exact", return_latent=True
     )
-    z = encode_ode(gen, x, 128, method="rk4")
+    # exact_logp integrates [t_epsilon, T]; mirror it exactly via t0
+    z = encode_ode(gen, x, 128, method="rk4",
+                   t0=gen.base_sde.t_epsilon)
     np.testing.assert_allclose(z, y_T, atol=1e-4, rtol=0)
     # and the full round trip closes
     x_rec = integrate_ode(gen, z, 128, method="rk4")
@@ -398,3 +400,32 @@ def test_sgm_prior_option_is_noop(rng):
     a = exact_logp(gen, x, num_steps=32, divergence="exact", prior="exact")
     b = exact_logp(gen, x, num_steps=32, divergence="exact", prior="model")
     np.testing.assert_array_equal(a, b)
+
+
+def test_encode_ode_t0_matches_likelihood_at_coarse_eps(rng):
+    """With a non-negligible t_epsilon the [0, t_epsilon) gap is visible:
+    t0=t_epsilon reproduces exact_logp's latent, t0=0 measurably differs."""
+    gen, cov0 = _analytic_gen(t_epsilon=5e-2)
+    from sdeflow_tpu.ops.ode import encode_ode
+
+    x = _sample_data(rng, cov0, 16)
+    _, y_T = exact_logp(
+        gen, x, num_steps=128, divergence="exact", return_latent=True
+    )
+    z_eps = encode_ode(gen, x, 128, t0=gen.base_sde.t_epsilon)
+    np.testing.assert_allclose(z_eps, y_T, atol=1e-4, rtol=0)
+    z_zero = encode_ode(gen, x, 128)
+    assert float(jnp.abs(z_zero - y_T).max()) > 1e-3
+
+
+def test_nll_summary_guards_divergence(rng):
+    from sdeflow_tpu.eval.nll import nll_summary
+
+    gen, cov0 = _analytic_gen()
+    x = _sample_data(rng, cov0, 8)
+    ok = nll_summary(gen, x, rng, num_steps=8)
+    assert ok["n"] == 8 and np.isfinite(ok["mean"])
+    bad = nll_summary(gen, jnp.full_like(x, jnp.nan), rng, num_steps=8)
+    assert bad == {"mean": None, "stderr": None, "n": 0, "steps": 8}
+    import json
+    json.loads(json.dumps(bad))  # strict-JSON-serializable

@@ -128,19 +128,11 @@ def main():
         # exact PF-ODE likelihood of the trained arm (eval/nll.py,
         # normalized latent prior) — the density-fit axis alongside the
         # sample-space sqrt-MMD rows; no reference counterpart (ELBO only)
-        from sdeflow_tpu.eval.nll import nll_bits_per_dim
+        from sdeflow_tpu.eval.nll import nll_summary
 
-        bpd = jax.jit(lambda xx, kk: nll_bits_per_dim(
-            gen, xx, kk, num_steps=64, divergence="hutchinson",
-        ))(xtest[:512], jax.random.fold_in(key, 7))
-        bpd = bpd[jnp.isfinite(bpd)]
-        out[f"nll_bits_per_dim_{arm.lower()}"] = dict(
-            mean=float(bpd.mean()),
-            stderr=float(bpd.std() / max(1, bpd.shape[0]) ** 0.5),
-            n=int(bpd.shape[0]), steps=64,
-        )
-        print(f"{arm} exact NLL = {float(bpd.mean()):.4f} bits/dim",
-              flush=True)
+        nll = nll_summary(gen, xtest, jax.random.fold_in(key, 7))
+        out[f"nll_bits_per_dim_{arm.lower()}"] = nll
+        print(f"{arm} exact NLL = {nll['mean']} bits/dim", flush=True)
 
         for sampler_kind, method, corr in SAMPLER_GRID:
             if sampler_kind == "dpm" and is_msgm:

@@ -17,11 +17,8 @@ Usage: python tools/plot_study.py [--out results/ode_study.png]
 import argparse
 import json
 import os
-import sys
 
 import numpy as np
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SEED_FILES = ("ODE_STUDY_CPU.json", "ODE_STUDY_CPU_s1.json",
               "ODE_STUDY_CPU_s2.json")
