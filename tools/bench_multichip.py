@@ -94,6 +94,26 @@ def worker(n_devices: int, backend: str, iters: int, batch_per_dev: int,
     sample_s = time.perf_counter() - t0
     assert bool(jnp.all(jnp.isfinite(out))), "non-finite sharded samples"
 
+    # batch-sharded exact-likelihood eval (eval/nll.py): the augmented
+    # PF-ODE scan + Hutchinson JVPs under the same DP sharding
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_nll = samples_per_dev * n_devices
+    x_nll = jax.device_put(
+        sampler.sampletest(jax.random.fold_in(key, 3), n_nll),
+        NamedSharding(mesh, P("data", None)),
+    )
+    from sdeflow_tpu.eval.nll import nll_bits_per_dim
+
+    bpd_fn = jax.jit(lambda xx, kk: nll_bits_per_dim(
+        state.gen_sde, xx, kk, num_steps=64))
+    bpd = bpd_fn(x_nll, jax.random.fold_in(key, 4))
+    jax.block_until_ready(bpd)
+    t0 = time.perf_counter()
+    bpd = bpd_fn(x_nll, jax.random.fold_in(key, 5))
+    jax.block_until_ready(bpd)
+    nll_s = time.perf_counter() - t0
+
     print(json.dumps(dict(
         n_devices=n_devices,
         backend=jax.default_backend(),
@@ -102,6 +122,7 @@ def worker(n_devices: int, backend: str, iters: int, batch_per_dev: int,
         final_loss=float(loss),
         num_samples=n_samples,
         samples_per_s=n_samples / sample_s,
+        nll_points_per_s=n_nll / nll_s,
     )))
 
 
@@ -141,6 +162,9 @@ def main():
         r["train_efficiency"] = r["train_steps_per_s"] / base["train_steps_per_s"]
         r["sample_efficiency"] = (
             r["samples_per_s"] / (n * base["samples_per_s"])
+        )
+        r["nll_efficiency"] = (
+            r["nll_points_per_s"] / (n * base["nll_points_per_s"])
         )
     out = dict(
         note=("weak scaling on a virtual single-core CPU mesh demonstrates "
