@@ -13,7 +13,6 @@ under `<results_dir>/<dataset>/` with the hyperparameter-encoding run name.
 from __future__ import annotations
 
 import os
-import time
 from dataclasses import replace
 from typing import Optional
 

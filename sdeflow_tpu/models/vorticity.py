@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from sdeflow_tpu.models.common import normalize_log_radius, timestep_embedding
-from sdeflow_tpu.models.unet2d import UNetModel, potential_score
+from sdeflow_tpu.models.unet2d import UNetModel
 
 SCALE_IMAGE = 5.0  # reference: NNUnet.py:19
 

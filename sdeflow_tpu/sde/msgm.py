@@ -33,7 +33,6 @@ from sdeflow_tpu.sde.base import SDEBehavior, _tcol
 from sdeflow_tpu.ops.gapply import (
     make_dense_G,
     dense_sigma_apply,
-    circulant_sigma_apply,
     circulant_ijk,
 )
 from sdeflow_tpu.ops.kde import (

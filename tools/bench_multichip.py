@@ -42,7 +42,6 @@ def worker(n_devices: int, backend: str, iters: int, batch_per_dev: int,
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", n_devices)
     import jax.numpy as jnp
-    import numpy as np
     import optax
 
     sys.path.insert(0, REPO)
