@@ -21,7 +21,7 @@ from jax import export as jax_export
 
 from sdeflow_tpu.ops.expint import integrate_dpm
 from sdeflow_tpu.ops.integrators import integrate_sde
-from sdeflow_tpu.ops.ode import integrate_ode
+from sdeflow_tpu.ops.ode import encode_ode, integrate_ode
 
 
 def make_sampler_fn(gen_sde, num_samples, dim, num_steps, *, method="rk4",
@@ -154,6 +154,73 @@ def export_sampler(gen_sde, path, num_samples, dim, num_steps, *,
     with open(path + ".json", "w") as f:
         json.dump(meta, f, indent=2)
     return meta
+
+
+def export_encoder(gen_sde, path, num_samples, dim, num_steps, *,
+                   method="rk4", t0=0.0, norm_correction=False,
+                   polymorphic_batch=False, platforms: Optional[list] = None):
+    """Stage + serialize the deterministic PF-ODE ENCODER (data → latent,
+    ops.encode_ode) to `path` — the deploy-side twin of `export_sampler`
+    for inversion/editing pipelines. The program takes (b, dim) f32 data
+    and returns (b, dim) latents; no PRNG input (the transport is
+    deterministic). polymorphic_batch exports a symbolic batch dimension
+    exactly like export_sampler. Load with `serving.Encoder`."""
+
+    def fn(x):
+        return encode_ode(
+            gen_sde, x, num_steps, method=method, t0=t0,
+            norm_correction=norm_correction,
+        )
+
+    if polymorphic_batch:
+        (b,) = jax_export.symbolic_shape("b")
+        x_spec = jax.ShapeDtypeStruct((b, dim), jnp.float32)
+    else:
+        x_spec = jax.ShapeDtypeStruct((num_samples, dim), jnp.float32)
+    exported = jax_export.export(jax.jit(fn), platforms=platforms)(x_spec)
+    blob = exported.serialize()
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(blob)
+    meta = dict(
+        kind="encoder", num_samples=num_samples, dim=dim,
+        num_steps=num_steps, method=method, t0=float(t0),
+        norm_correction=norm_correction,
+        polymorphic_batch=bool(polymorphic_batch),
+        platforms=list(exported.platforms),
+    )
+    with open(path + ".json", "w") as f:
+        json.dump(meta, f, indent=2)
+    return meta
+
+
+class Encoder:
+    """Serving-side handle for an exported encoder program:
+
+        e = Encoder("model.encoder")
+        z = e(x)          # x: (b, dim) f32 — b free for polymorphic exports
+    """
+
+    def __init__(self, path):
+        with open(path, "rb") as f:
+            self._exported = jax_export.deserialize(bytearray(f.read()))
+        meta_path = path + ".json"
+        self.meta = None
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                self.meta = json.load(f)
+        self._call = jax.jit(self._exported.call)
+
+    def __call__(self, x):
+        x = jnp.asarray(x, jnp.float32)
+        aval = self._exported.in_avals[0]
+        fixed = isinstance(aval.shape[0], int)
+        if fixed and x.shape[0] != aval.shape[0]:
+            raise ValueError(
+                f"fixed-batch encoder exported for batch {aval.shape[0]}; "
+                "re-export with polymorphic_batch=True for other sizes"
+            )
+        return self._call(x)
 
 
 class Sampler:

@@ -133,3 +133,33 @@ def test_polymorphic_batch_msgm_and_dpm(rng, tmp_path):
                    sampler="dpm", method="dpm2m", polymorphic_batch=True)
     out = Sampler(path_d)(jax.random.PRNGKey(3), num_samples=128)
     assert out.shape == (128, 2) and bool(jnp.isfinite(out).all())
+
+
+def test_export_encoder_roundtrip(rng, tmp_path):
+    """Exported encoder program == in-process encode_ode bitwise; the
+    polymorphic artifact serves any batch size; decode inverts it."""
+    import pytest
+
+    from sdeflow_tpu.ops.ode import encode_ode, integrate_ode
+    from sdeflow_tpu.serving import Encoder, export_encoder
+
+    gen = _mk_gen(rng)
+    x = jax.random.normal(rng, (16, 2))
+    path = str(tmp_path / "m.encoder")
+    meta = export_encoder(gen, path, 16, 2, 32)
+    assert meta["kind"] == "encoder" and not meta["polymorphic_batch"]
+    enc = Encoder(path)
+    np.testing.assert_array_equal(enc(x), encode_ode(gen, x, 32))
+    with pytest.raises(ValueError):
+        enc(x[:8])
+
+    ppath = str(tmp_path / "m_poly.encoder")
+    export_encoder(gen, ppath, 16, 2, 32, polymorphic_batch=True)
+    enc_p = Encoder(ppath)
+    for b in (4, 16, 33):
+        xb = jax.random.normal(jax.random.fold_in(rng, b), (b, 2))
+        z = enc_p(xb)
+        assert z.shape == (b, 2)
+        np.testing.assert_allclose(
+            integrate_ode(gen, z, 32), xb, atol=5e-3, rtol=0
+        )
