@@ -61,6 +61,10 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--no-timing", action="store_true",
                     help="skip device_seconds throughput (quality only)")
+    ap.add_argument("--ema-rate", type=float, default=None,
+                    help="train with EMA and evaluate the EMA head "
+                         "(tools/ema_ablation.py measures raw-vs-EMA; "
+                         "this sweeps every sampler on the EMA weights)")
     ap.add_argument("--dpm-grid", default="logsnr",
                     choices=["logsnr", "time", "karras"],
                     help="time grid for the dpm arms (recorded per row)")
@@ -87,7 +91,8 @@ def main():
     arms = [a.strip().lower() for a in args.arms.split(",")]
     d = 2
     out = {"backend": jax.default_backend(), "iters": args.iters,
-           "samples": args.samples, "rows": []}
+           "samples": args.samples, "rows": [],
+           **({"ema_rate": args.ema_rate} if args.ema_rate else {})}
 
     for is_msgm in (False, True):
         arm = "MSGM" if is_msgm else "SGM"
@@ -114,11 +119,12 @@ def main():
                                 num_steps_forward=16)
         gen0 = PluginReverseSDE.create(sde, model.apply, variables)
         trainer = Trainer(gen0, sampler, lr=1e-3, batch_size=args.batch,
-                          print_every=max(1, args.iters // 2))
+                          print_every=max(1, args.iters // 2),
+                          ema_rate=args.ema_rate)
         t0 = time.perf_counter()
         state, _ = trainer.run(jax.random.fold_in(key, 3), args.iters)
         print(f"trained in {time.perf_counter() - t0:.1f}s", flush=True)
-        gen = state.gen_sde
+        gen = trainer.ema_gen_sde if args.ema_rate else state.gen_sde
 
         xtest = sampler.sampletest(jax.random.fold_in(key, 5), args.samples)
         xtrain = sampler.sample(jax.random.fold_in(key, 6), args.samples)
