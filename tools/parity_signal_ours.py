@@ -45,6 +45,11 @@ def main():
     ap.add_argument("--dpm-grid", default="logsnr",
                     choices=["logsnr", "time", "karras"],
                     help="time grid for dpm/sdpm/sdpm2 combos")
+    ap.add_argument("--ema-rate", type=float, default=None,
+                    help="train with EMA and evaluate the EMA head. The "
+                         "parity arms stay EMA-off (the reference protocol "
+                         "never calls its update_ema); --ema-rate 0.999 is "
+                         "the production-mode measurement")
     ap.add_argument("--out", default="parity_signal_ours.json")
     args = ap.parse_args()
 
@@ -106,17 +111,19 @@ def main():
                                 t_epsilon=t_eps, num_steps_forward=steps_fwd)
         gen = PluginReverseSDE.create(sde, model.apply, variables)
         trainer = Trainer(gen, sampler, lr=1e-4, batch_size=args.batch,
-                          print_every=max(1, args.iters // 8))
+                          print_every=max(1, args.iters // 8),
+                          ema_rate=args.ema_rate)
         t0 = time.perf_counter()
         state, final_loss = trainer.run(jax.random.fold_in(key, 3), args.iters)
         train_s = time.perf_counter() - t0
+        gen_eval = trainer.ema_gen_sde if args.ema_rate else state.gen_sde
 
         from tools.sampler_combos import SGM_ONLY, make_solve, parse_combos
 
         combos = parse_combos(args.eval, args.steps_back)
 
         k_lat, k_solve = jax.random.split(jax.random.fold_in(key, 4))
-        x0 = state.gen_sde.latent_sample(k_lat, args.samples, d)
+        x0 = gen_eval.latent_sample(k_lat, args.samples, d)
         xtest = sampler.sampletest(jax.random.fold_in(key, 5), args.samples)
         xtrain = sampler.sample(jax.random.fold_in(key, 6), args.samples)
         for samp, steps in combos:
@@ -125,10 +132,10 @@ def main():
             solve = jax.jit(make_solve(samp, steps, is_msgm,
                                  dpm_grid=args.dpm_grid))
             # scalar-fetch sync: see tools/parity_image_ours.py
-            xgen = solve(state.gen_sde, x0, k_solve)
+            xgen = solve(gen_eval, x0, k_solve)
             float(xgen.sum())
             t0 = time.perf_counter()
-            xgen = solve(state.gen_sde, x0, k_solve)
+            xgen = solve(gen_eval, x0, k_solve)
             float(xgen.sum())
             sample_s = time.perf_counter() - t0
 
@@ -141,6 +148,7 @@ def main():
                 batch=args.batch, sampler=samp, steps_back=steps,
                 **({"dpm_grid": args.dpm_grid} if samp in SGM_ONLY
                    else {}),
+                **({"ema_rate": args.ema_rate} if args.ema_rate else {}),
                 backend=jax.default_backend(),
                 train_s=train_s, ms_per_step=train_s / args.iters * 1000,
                 sample_s=sample_s, samples_per_s=args.samples / sample_s,

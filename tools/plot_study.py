@@ -83,9 +83,17 @@ def _floor(data, arm):
 
 
 def main():
+    global SEED_FILES
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="results/ode_study.png")
+    ap.add_argument("--seed-files", default=",".join(SEED_FILES),
+                    help="comma list of per-seed study JSONs (e.g. the "
+                         "ODE_STUDY_CPU_ema*.json EMA-head runs)")
+    ap.add_argument("--suptitle", default=None,
+                    help="override the figure suptitle (the default "
+                         "describes the raw-head seed files)")
     args = ap.parse_args()
+    SEED_FILES = tuple(f.strip() for f in args.seed_files.split(","))
 
     import matplotlib
     matplotlib.use("Agg")
@@ -141,8 +149,9 @@ def main():
     axes[0].legend(fontsize=7, loc="lower left", framealpha=0.9,
                    edgecolor=GRID)
     fig.suptitle(
-        "Sampler families on the trained swissroll parity arms — median of "
-        "3 retrain seeds, min-max band (ODE_STUDY_CPU*.json)",
+        args.suptitle
+        or "Sampler families on the trained swissroll parity arms — median "
+           "of 3 retrain seeds, min-max band (ODE_STUDY_CPU*.json)",
         fontsize=10, color=TEXT,
     )
     fig.tight_layout(rect=(0, 0, 1, 0.94))
