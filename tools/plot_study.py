@@ -89,6 +89,10 @@ def main():
     ap.add_argument("--seed-files", default=",".join(SEED_FILES),
                     help="comma list of per-seed study JSONs (e.g. the "
                          "ODE_STUDY_CPU_ema*.json EMA-head runs)")
+    ap.add_argument("--no-direct-labels", action="store_true",
+                    help="legend only — for variants (e.g. the EMA head) "
+                         "where converged series collapse onto the floor "
+                         "and direct labels would overlap")
     ap.add_argument("--suptitle", default=None,
                     help="override the figure suptitle (the default "
                          "describes the raw-head seed files)")
@@ -103,8 +107,9 @@ def main():
     fig, axes = plt.subplots(1, 2, figsize=(11, 4.2), dpi=160,
                              facecolor="#fcfcfb")
     # direct-label only the load-bearing series (≤4); legend carries all
-    direct = {"predictor–corrector (em + 1 Langevin)", "DPM-Solver++ 2M",
-              "reverse SDE (rk4) — reference path"}
+    direct = set() if args.no_direct_labels else {
+        "predictor–corrector (em + 1 Langevin)", "DPM-Solver++ 2M",
+        "reverse SDE (rk4) — reference path"}
 
     for ax, arm in zip(axes, ("SGM", "MSGM")):
         ax.set_facecolor("#fcfcfb")
