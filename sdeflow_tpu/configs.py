@@ -44,6 +44,10 @@ class TrainConfig:
     # model/nn_utils.py:117-127). When set, sampling/eval use the averaged
     # weights.
     ema_rate: Optional[float] = None
+    # ramp the EMA decay as min(rate, (1+n)/(10+n)) (Song score_sde-style)
+    # so short budgets aren't dominated by the random init — measured
+    # √MMD≈1.0 at 768 steps with a fixed 0.999 decay
+    ema_warmup: bool = True
     num_steps_forward: int = 16
     # U-Net extras (reference MSGM_higherDim.py:704-727)
     base_channels: int = 32

@@ -461,6 +461,7 @@ class ExperimentDriver:
                 mesh=self.mesh,
                 print_ram=tc.print_ram,
                 ema_rate=tc.ema_rate,
+                ema_warmup=tc.ema_warmup,
             )
             state, _ = trainer.run(key_train, iterations,
                                    x_test=xtest[: min(1000, xtest.shape[0])])

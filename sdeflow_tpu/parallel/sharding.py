@@ -31,7 +31,7 @@ from sdeflow_tpu.training.train import TrainState
 
 
 def make_parallel_train_step(optimizer, mesh: Mesh, loss="ssm",
-                             ema_rate=None):
+                             ema_rate=None, ema_warmup=True):
     """Data-parallel train step: state replicated, batch sharded on "data".
 
     Same math as training.make_train_step; the only difference is the
@@ -58,10 +58,11 @@ def make_parallel_train_step(optimizer, mesh: Mesh, loss="ssm",
             grads, state.opt_state, state.gen_sde.a_params
         )
         params = optax.apply_updates(state.gen_sde.a_params, updates)
-        from sdeflow_tpu.training.train import update_ema
+        from sdeflow_tpu.training.train import update_ema, ema_rate_at
 
         ema = (
-            update_ema(state.ema_params, params, ema_rate)
+            update_ema(state.ema_params, params,
+                       ema_rate_at(ema_rate, state.step + 1, ema_warmup))
             if ema_rate is not None
             else state.ema_params
         )
@@ -79,7 +80,7 @@ def make_parallel_train_step(optimizer, mesh: Mesh, loss="ssm",
 
 
 def make_parallel_train_chunk(optimizer, sample_fn, batch_size, mesh: Mesh,
-                              loss="ssm", ema_rate=None):
+                              loss="ssm", ema_rate=None, ema_warmup=True):
     """Fused multi-step trainer x data parallelism: training.make_train_chunk
     with the per-step on-device batch constrained to the mesh's "data" axis
     (XLA inserts the grad psum). One scan body definition — the trainer
@@ -94,7 +95,7 @@ def make_parallel_train_chunk(optimizer, sample_fn, batch_size, mesh: Mesh,
         )
 
     return make_train_chunk(optimizer, sharded_sample, batch_size, loss=loss,
-                            ema_rate=ema_rate)
+                            ema_rate=ema_rate, ema_warmup=ema_warmup)
 
 
 def _col_spec(x):

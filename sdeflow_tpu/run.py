@@ -78,6 +78,11 @@ def build_parser():
                    help="exponential-moving-average rate for the score-net "
                         "params (e.g. 0.999); sampling/eval then use the "
                         "averaged weights (TrainConfig.ema_rate)")
+    p.add_argument("--no-ema-warmup", action="store_true",
+                   help="disable the min(rate, (1+n)/(10+n)) EMA decay "
+                        "warmup (fixed-rate EMA is init-dominated on short "
+                        "budgets: 0.999^768 ≈ 0.46 of the weight stays on "
+                        "the random init)")
     p.add_argument("--print-ram", action="store_true",
                    help="log host RSS + device HBM at each print cadence "
                         "(working version of the reference's dormant "
@@ -168,6 +173,8 @@ def main(argv=None):
         cfg = replace(cfg, train=replace(cfg.train, print_ram=True))
     if args.ema_rate is not None:
         cfg = replace(cfg, train=replace(cfg.train, ema_rate=args.ema_rate))
+    if args.no_ema_warmup:
+        cfg = replace(cfg, train=replace(cfg.train, ema_warmup=False))
     if args.attention_impl is not None:
         if args.attention_impl == "ring" and args.tp <= 1:
             raise SystemExit("--attention-impl ring requires --tp > 1 "

@@ -40,13 +40,29 @@ class TrainState:
         return self.gen_sde.a_params
 
 
-def make_train_step(optimizer, loss="ssm", ema_rate=None):
+def ema_rate_at(ema_rate, step, warmup=True):
+    """Effective EMA decay at update number `step` (1-based, traced ok).
+
+    With warmup (the diffusion-literature standard, e.g. Song's score_sde
+    ExponentialMovingAverage), the decay ramps as min(rate, (1+n)/(10+n)) so
+    early EMA states track the live params instead of the random init — a
+    fixed 0.999 leaves 0.999^n of the weight on the init, which measured as
+    √MMD≈1.0 on a 768-step budget (parity_signal_ours_ema_cpu.json).
+    """
+    if not warmup:
+        return ema_rate
+    n = step.astype(jnp.float32)
+    return jnp.minimum(jnp.float32(ema_rate), (1.0 + n) / (10.0 + n))
+
+
+def make_train_step(optimizer, loss="ssm", ema_rate=None, ema_warmup=True):
     """Build a jitted train step: (state, key, x) -> (state, loss).
 
     loss: "ssm" (reference's objective, MSGM_higherDim.py:807) or "dsm"
     (SGM-only closed-form objective). ema_rate folds an EMA update of the
     score-net params into the same program (state.ema_params must be
-    initialized — Trainer does this).
+    initialized — Trainer does this); ema_warmup ramps the decay via
+    `ema_rate_at` so short budgets are not init-dominated.
     """
 
     def loss_fn(params, gen_sde, key, x):
@@ -69,7 +85,8 @@ def make_train_step(optimizer, loss="ssm", ema_rate=None):
         )
         params = optax.apply_updates(state.gen_sde.a_params, updates)
         ema = (
-            update_ema(state.ema_params, params, ema_rate)
+            update_ema(state.ema_params, params,
+                       ema_rate_at(ema_rate, state.step + 1, ema_warmup))
             if ema_rate is not None
             else state.ema_params
         )
@@ -87,7 +104,7 @@ def make_train_step(optimizer, loss="ssm", ema_rate=None):
 
 
 def make_train_chunk(optimizer, sample_fn, batch_size, loss="ssm",
-                     ema_rate=None):
+                     ema_rate=None, ema_warmup=True):
     """Fuse MANY train steps into ONE device dispatch.
 
     TPU-native optimization with no reference counterpart: the reference
@@ -123,7 +140,8 @@ def make_train_chunk(optimizer, sample_fn, batch_size, loss="ssm",
             )
             params = optax.apply_updates(st.gen_sde.a_params, updates)
             ema = (
-                update_ema(st.ema_params, params, ema_rate)
+                update_ema(st.ema_params, params,
+                           ema_rate_at(ema_rate, st.step + 1, ema_warmup))
                 if ema_rate is not None
                 else st.ema_params
             )
@@ -183,9 +201,11 @@ class Trainer:
         mesh=None,
         print_ram: bool = False,
         ema_rate: Optional[float] = None,
+        ema_warmup: bool = True,
     ):
         self.optimizer = optax.adam(lr)
         self.ema_rate = ema_rate
+        self.ema_warmup = ema_warmup
         self.state = TrainState(
             gen_sde=gen_sde,
             opt_state=self.optimizer.init(gen_sde.a_params),
@@ -214,20 +234,22 @@ class Trainer:
             )
 
             self.train_step = make_parallel_train_step(
-                self.optimizer, mesh, loss=loss, ema_rate=ema_rate
+                self.optimizer, mesh, loss=loss, ema_rate=ema_rate,
+                ema_warmup=ema_warmup,
             )
             if self.steps_per_dispatch > 1:
                 self.train_chunk = make_parallel_train_chunk(
                     self.optimizer, sampler.sample, batch_size, mesh,
-                    loss=loss, ema_rate=ema_rate,
+                    loss=loss, ema_rate=ema_rate, ema_warmup=ema_warmup,
                 )
         else:
             self.train_step = make_train_step(self.optimizer, loss=loss,
-                                              ema_rate=ema_rate)
+                                              ema_rate=ema_rate,
+                                              ema_warmup=ema_warmup)
             if self.steps_per_dispatch > 1:
                 self.train_chunk = make_train_chunk(
                     self.optimizer, sampler.sample, batch_size, loss=loss,
-                    ema_rate=ema_rate,
+                    ema_rate=ema_rate, ema_warmup=ema_warmup,
                 )
         self.eval_step = make_eval_step()
         self.history = []

@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--samples", type=int, default=10_000)
     ap.add_argument("--ema-rate", type=float, default=0.999)
+    ap.add_argument("--ema-warmup", choices=("on", "off"), default="on",
+                    help="min(rate,(1+n)/(10+n)) decay ramp (default on; "
+                         "'off' reproduces the fixed-rate EMA, which is "
+                         "init-dominated on short budgets)")
     ap.add_argument("--seeds", default="0")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default="EMA_ABLATION.json")
@@ -49,7 +53,8 @@ def main():
     from sdeflow_tpu.training import Trainer
 
     out = {"backend": jax.default_backend(), "iters": args.iters,
-           "ema_rate": args.ema_rate, "rows": []}
+           "ema_rate": args.ema_rate, "ema_warmup": args.ema_warmup,
+           "rows": []}
     d = 2
     for seed in [int(x) for x in args.seeds.split(",")]:
         key = jax.random.PRNGKey(seed)
@@ -74,7 +79,8 @@ def main():
             gen0 = PluginReverseSDE.create(sde, model.apply, variables)
             trainer = Trainer(gen0, sampler, lr=1e-3, batch_size=args.batch,
                               print_every=max(1, args.iters // 2),
-                              ema_rate=args.ema_rate)
+                              ema_rate=args.ema_rate,
+                              ema_warmup=args.ema_warmup == "on")
             state, _ = trainer.run(jax.random.fold_in(key, 3), args.iters)
 
             xtest = sampler.sampletest(jax.random.fold_in(key, 5),
