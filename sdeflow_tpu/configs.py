@@ -29,7 +29,7 @@ class TrainConfig:
     norm_sampler: str = "ecdf"
     norm_map: Optional[str] = "log"
     dense_tensor: bool = True
-    nn_archi: str = "MLP"  # MLP | Unet | Unet1D | DiT
+    nn_archi: str = "MLP"  # MLP | Unet | Unet1D | DiT | DiT2D
     num_samples_init_max: int = 100_000
     vtype: str = "rademacher"
     lr: float = 1e-3
@@ -341,6 +341,19 @@ def _grf(npixel=16):
     )
 
 
+def _grf_dit(npixel=16):
+    """The grf16 image config driven by the DiT2D transformer score net
+    (models/dit.py) instead of the attention U-Net — the 16×16/c32 conv
+    architecture caps near ~35% MFU (README "U-Net roofline"); DiT2D's
+    FLOPs are all width-512 dense matmuls. dit_patch=4 → 16 tokens of
+    4×4 pixels on 16×16 images."""
+    cfg = _grf(npixel)
+    return replace(
+        cfg, name=f"grf{npixel}_dit",
+        train=replace(cfg.train, nn_archi="DiT2D", dit_patch=4),
+    )
+
+
 def _pod():
     # reference: MSGM_higherDim.py:298-307
     return ExperimentConfig(
@@ -454,6 +467,7 @@ PRESETS = {
     "piv32": lambda: _piv_large(32),
     "grf16": lambda: _grf(16),
     "grf32": lambda: _grf(32),
+    "grf16_dit": lambda: _grf_dit(16),
     "pod": _pod,
     "era5": _era5,
     "era5temp": _era5temp,

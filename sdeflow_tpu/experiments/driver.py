@@ -193,6 +193,21 @@ def make_model(cfg: ExperimentConfig, dim, premodule, mesh=None):
             heads=tc.dit_heads,
             premodule=premodule,
         )
+    if tc.nn_archi == "DiT2D":
+        from sdeflow_tpu.models import DiT2D
+
+        npixelx = int(np.sqrt(dim))
+        if dim != npixelx**2:
+            raise ValueError(f"Incorrect dim to define square image: {dim}")
+        return DiT2D(
+            in_space=npixelx,
+            patch=tc.dit_patch,
+            width=tc.dit_width,
+            depth=tc.dit_depth,
+            heads=tc.dit_heads,
+            premodule=premodule,
+            flatten_order="F",
+        )
     raise ValueError(f"Unknown NN archi: {tc.nn_archi}")
 
 
@@ -232,6 +247,7 @@ class ExperimentDriver:
             "MLP": shard_mlp_params,
             "Unet1D": shard_unet1d_params,
             "DiT": shard_dit_params,
+            "DiT2D": shard_dit_params,
         }.get(self.cfg.train.nn_archi, shard_unet_params)
         return gen.replace(a_params=shard(gen.a_params, self.mesh))
 

@@ -4,7 +4,7 @@ from sdeflow_tpu.models.common import (
     GroupNorm32,
     zero_init,
 )
-from sdeflow_tpu.models.dit import DiT1D
+from sdeflow_tpu.models.dit import DiT1D, DiT2D
 from sdeflow_tpu.models.mlp import MLP
 from sdeflow_tpu.models.unet1d import UNet1D
 from sdeflow_tpu.models.unet2d import UNetModel, ConditionalModel
@@ -16,6 +16,7 @@ __all__ = [
     "GroupNorm32",
     "zero_init",
     "DiT1D",
+    "DiT2D",
     "MLP",
     "UNet1D",
     "UNetModel",

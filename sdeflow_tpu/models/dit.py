@@ -166,3 +166,99 @@ class DiT1D(nn.Module):
         )(h)
         out = h.reshape(-1, n_tok * self.patch)[:, : self.input_dim]
         return out.astype(jnp.float32).reshape(sz)
+
+
+class DiT2D(nn.Module):
+    """Transformer score net over flat square images: the MXU-native
+    alternative to VorticityUNet on the image configs.
+
+    Same outer contract as VorticityUNet (models/vorticity.py — the
+    reference's NNUnet.py:145-246 rewritten): accepts flat (B, d=H·W)
+    (C- or F-order) or (B, H, W, 1), applies the /5 value rescale, and
+    with premodule="NormalizeLogRadius" projects to the sphere and adds
+    a log‖x‖ embedding to the conditioning vector. Inside, instead of
+    small-channel convs (which cap the 16×16/c32 U-Net near ~35% MFU —
+    README "U-Net roofline"), the image is cut into p×p patches and run
+    through the same adaLN-Zero DiTBlock stack as DiT1D, so every FLOP
+    is a width-W dense matmul. Zero-init head → score ≡ 0 at init."""
+
+    in_space: int = 16
+    patch: int = 4
+    width: int = 512
+    depth: int = 6
+    heads: int = 4
+    mlp_ratio: int = 4
+    premodule: Optional[str] = None  # None | "NormalizeLogRadius"
+    flatten_order: str = "C"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, t, deterministic=True):
+        from sdeflow_tpu.models.vorticity import flat_to_img, img_to_flat
+
+        assert self.premodule in (None, "NormalizeLogRadius")
+        assert self.flatten_order in ("C", "F")
+        H = W = self.in_space
+        p = self.patch
+        assert H % p == 0, f"patch {p} must divide in_space {H}"
+        t = jnp.reshape(t, (-1,)).astype(jnp.float32)
+
+        c = TimeMLP(self.width, act="silu", name="time_mlp")(
+            timestep_embedding(t, self.width)
+        )
+        if self.premodule == "NormalizeLogRadius":
+            flat = x if x.ndim == 2 else x.reshape(x.shape[0], -1)
+            flat, log_norm = normalize_log_radius(flat)
+            # same √d rescale as VorticityUNet (reference NNUnet.py:205)
+            flat = flat * jnp.sqrt(jnp.asarray(flat.shape[-1], flat.dtype))
+            x = flat if x.ndim == 2 else flat.reshape(x.shape)
+            c = c + TimeMLP(self.width, act="silu", name="norm_embed")(
+                log_norm.reshape(-1, 1)
+            )
+
+        need_flat = x.ndim == 2
+        if need_flat:
+            x_img = flat_to_img(x, H, W, order=self.flatten_order)
+        else:
+            assert x.ndim == 4 and x.shape[-1] == 1, (
+                f"Expected (B,H,W,1), got {x.shape}"
+            )
+            x_img = x / 5.0  # SCALE_IMAGE, models/vorticity.py:21
+
+        # p×p patchify: (B,H,W,1) -> (B, T=(H/p)·(W/p), p²)
+        b = x_img.shape[0]
+        hp, wp = H // p, W // p
+        h = x_img[..., 0].reshape(b, hp, p, wp, p)
+        h = jnp.transpose(h, (0, 1, 3, 2, 4)).reshape(b, hp * wp, p * p)
+        h = h.astype(self.dtype)
+        h = nn.Dense(self.width, dtype=self.dtype, name="patch_embed")(h)
+        pos = self.param(
+            "pos_emb", nn.initializers.normal(0.02), (hp * wp, self.width),
+            jnp.float32,
+        )
+        h = h + pos.astype(self.dtype)[None]
+        c = c.astype(self.dtype)
+
+        for i in range(self.depth):
+            h = DiTBlock(
+                width=self.width, heads=self.heads, mlp_ratio=self.mlp_ratio,
+                dtype=self.dtype, name=f"block{i}",
+            )(h, c)
+
+        mod = nn.Dense(
+            2 * self.width, kernel_init=zero_init(), bias_init=zero_init(),
+            dtype=self.dtype, name="ada_out",
+        )(nn.silu(c))[:, None, :]
+        sh, sc = jnp.split(mod, 2, axis=-1)
+        h = _ln(h) * (1.0 + sc) + sh
+        h = nn.Dense(
+            p * p, kernel_init=zero_init(), bias_init=zero_init(),
+            dtype=self.dtype, name="head_out",
+        )(h)
+        # unpatchify back to (B, H, W, 1)
+        y = h.reshape(b, hp, wp, p, p)
+        y = jnp.transpose(y, (0, 1, 3, 2, 4)).reshape(b, H, W, 1)
+        y = y.astype(jnp.float32)
+        if need_flat:
+            return img_to_flat(y, order=self.flatten_order)
+        return y * 5.0

@@ -615,6 +615,78 @@ def sec_dit():
     return out
 
 
+def sec_dit2d():
+    """DiT2D transformer score net (models/dit.py) on the 16x16 image-config
+    shapes, vs the attention U-Net's numbers in sec_unet_forward /
+    sec_unet_sampling: forward img/s + MFU at B=256/2048, and the
+    end-to-end MSGM circulant d=256 generation rate (64-step
+    norm-corrected RK4, B=1024). The U-Net's small-channel convs cap it
+    near ~35% MFU (README "U-Net roofline"); DiT2D's FLOPs are all
+    width-512 dense matmuls, so this measures what the MXU-native
+    architecture buys on the same workload."""
+    from sdeflow_tpu.data import SmoothedGRF
+    from sdeflow_tpu.models import DiT2D
+    from sdeflow_tpu.ops.integrators import integrate_sde
+    from sdeflow_tpu.sde import MSGMSde, PluginReverseSDE
+    from sdeflow_tpu.utils import compiled_flops, device_seconds, peak_flops
+
+    key = jax.random.PRNGKey(0)
+    out = {}
+    for tag, dtype in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
+        model = DiT2D(in_space=16, patch=4, width=512, depth=6, heads=4,
+                      premodule="NormalizeLogRadius", flatten_order="F",
+                      dtype=dtype)
+        for b in (256, 2048):
+            x = jax.random.normal(key, (b, 256))
+            t = jnp.linspace(0.01, 1.0, b)
+            variables = model.init(key, x[:8], t[:8])
+            if "dit2d_params" not in out:
+                out["dit2d_params"] = int(sum(
+                    v.size for v in jax.tree_util.tree_leaves(variables)))
+
+            def fwd(xi):
+                return model.apply(variables, xi, t)
+
+            sec = device_seconds(
+                lambda i: fwd(x + 1e-6 * i).mean().astype(jnp.float32),
+                short=1,
+            )
+            out[f"dit2d_fwd_b{b}_{tag}_imgs_per_s"] = b / sec
+            out[f"dit2d_fwd_b{b}_{tag}_ms"] = sec * 1e3
+            peak = peak_flops()
+            if peak:
+                out[f"dit2d_fwd_b{b}_{tag}_mfu"] = (
+                    compiled_flops(jax.jit(fwd), x) / sec / peak
+                )
+
+    # end-to-end MSGM image generation (sec_unet_sampling twin)
+    b, d, steps = 1024, 256, 64
+    x_init = SmoothedGRF(npixel=16).sample(key, 8192)
+    sde = MSGMSde.create(key, x_init, beta_min=0.4, beta_max=80.0,
+                         t_epsilon=4e-3, num_steps_forward=64,
+                         dense_tensor=False, norm_map="log")
+    for tag, dtype in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
+        model = DiT2D(in_space=16, patch=4, width=512, depth=6, heads=4,
+                      premodule="NormalizeLogRadius", flatten_order="F",
+                      dtype=dtype)
+        variables = model.init(key, x_init[:8], jnp.zeros((8,)))
+        gen = PluginReverseSDE.create(sde, model.apply, variables)
+
+        def solve(k):
+            k_lat, k_solve = jax.random.split(k)
+            x0 = gen.latent_sample(k_lat, b, d)
+            return integrate_sde(gen, x0, k_solve, steps, method="rk4",
+                                 norm_correction=True)
+
+        sec = device_seconds(
+            lambda i: solve(jax.random.fold_in(key, i)).mean().astype(
+                jnp.float32),
+            short=1,
+        )
+        out[f"dit2d_msgm_sampling_{tag}_imgs_per_s"] = b / sec
+    return out
+
+
 SECTIONS = {
     "mlp_sampling": sec_mlp_sampling,
     "msgm_circulant": sec_msgm_circulant,
@@ -628,6 +700,7 @@ SECTIONS = {
     "unet1d": sec_unet1d,
     "dpm_sampling": sec_dpm_sampling,
     "dit": sec_dit,
+    "dit2d": sec_dit2d,
 }
 
 

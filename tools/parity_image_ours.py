@@ -47,6 +47,10 @@ def main():
                          "parity arms stay EMA-off (the reference protocol "
                          "never calls its update_ema); --ema-rate 0.999 is "
                          "the production-mode measurement")
+    ap.add_argument("--archi", default="unet", choices=["unet", "dit"],
+                    help="score net: the reference-matched attention U-Net "
+                         "(default) or the MXU-native DiT2D transformer "
+                         "(grf16_dit preset shapes — beyond-reference arm)")
     ap.add_argument("--out", default="parity_image_ours.json")
     args = ap.parse_args()
 
@@ -57,7 +61,7 @@ def main():
     import jax.numpy as jnp
 
     from sdeflow_tpu.data import SmoothedGRF
-    from sdeflow_tpu.models import VorticityUNet
+    from sdeflow_tpu.models import DiT2D, VorticityUNet
     from sdeflow_tpu.sde import SGMSde, MSGMSde, PluginReverseSDE
     from sdeflow_tpu.training import Trainer
     from sdeflow_tpu.eval import compute_mmd
@@ -77,11 +81,16 @@ def main():
         sampler = SmoothedGRF(npixel=16)
         d = sampler.dim
         premodule = "NormalizeLogRadius" if is_msgm else None
-        model = VorticityUNet(
-            base_channels=32, channel_mults=(1, 2, 4), num_res_blocks=2,
-            premodule=premodule, in_space=16, attention_resolutions=(2, 4),
-            flatten_order="F",
-        )
+        if args.archi == "dit":
+            # grf16_dit preset shapes (configs.py _grf_dit)
+            model = DiT2D(in_space=16, patch=4, width=512, depth=6, heads=4,
+                          premodule=premodule, flatten_order="F")
+        else:
+            model = VorticityUNet(
+                base_channels=32, channel_mults=(1, 2, 4), num_res_blocks=2,
+                premodule=premodule, in_space=16,
+                attention_resolutions=(2, 4), flatten_order="F",
+            )
         x_probe = sampler.sample(key, 8)
         variables = model.init(key, x_probe, jnp.zeros((8,)))
         # 16x16 PIV hyperparameters: ratio=1/4 (MSGM_higherDim.py:228-233);
@@ -142,7 +151,10 @@ def main():
             mmd = float(compute_mmd(jnp.asarray(xgen_f[:n]), xtest[:n]))
             mmd_floor = float(compute_mmd(xtrain[:n], xtest[:n]))
             res = dict(
-                arm=arm, config="grf16_unet_attention", iters=args.iters,
+                arm=arm,
+                config=("grf16_dit" if args.archi == "dit"
+                        else "grf16_unet_attention"),
+                iters=args.iters,
                 batch=args.batch, sampler=samp, steps_back=steps,
                 **({"dpm_grid": args.dpm_grid} if samp in SGM_ONLY
                    else {}),
