@@ -33,6 +33,13 @@ class TrainConfig:
     num_samples_init_max: int = 100_000
     vtype: str = "rademacher"
     lr: float = 1e-3
+    # production optimizer knobs (no reference counterpart — the reference
+    # is bare Adam, MSGM_higherDim.py:789): global-norm gradient clipping,
+    # AdamW decoupled weight decay, linear LR warmup steps. Composed by
+    # training.build_optimizer; defaults reproduce the reference exactly.
+    grad_clip: Optional[float] = None
+    weight_decay: float = 0.0
+    lr_warmup_steps: int = 0
     print_every: int = 10_000
     save_every: int = 100_000
     use_checkpoint: bool = False

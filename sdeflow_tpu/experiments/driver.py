@@ -25,7 +25,7 @@ from sdeflow_tpu.experiments.naming import run_name_root, simulation_name
 from sdeflow_tpu.models import MLP, UNet1D, VorticityUNet
 from sdeflow_tpu.sde import SGMSde, MSGMSde, PluginReverseSDE, ForwardFlow
 from sdeflow_tpu.ops.integrators import integrate_sde
-from sdeflow_tpu.training import Trainer
+from sdeflow_tpu.training import Trainer, build_optimizer
 from sdeflow_tpu.training.checkpoint import delete_checkpoint, save_checkpoint
 from sdeflow_tpu.plotting.plots import (
     preprocessing,
@@ -469,6 +469,11 @@ class ExperimentDriver:
             gen = self._shard_arm_params(gen)
             trainer = Trainer(
                 gen, sampler, lr=tc.lr, batch_size=batch_size,
+                optimizer=build_optimizer(
+                    tc.lr, grad_clip=tc.grad_clip,
+                    weight_decay=tc.weight_decay,
+                    lr_warmup_steps=tc.lr_warmup_steps,
+                ),
                 loss="ssm", print_every=tc.print_every,
                 save_every=tc.save_every, checkpoint_path=checkpoint_path,
                 log_fn=self.log,

@@ -83,6 +83,17 @@ def build_parser():
                         "warmup (fixed-rate EMA is init-dominated on short "
                         "budgets: 0.999^768 ≈ 0.46 of the weight stays on "
                         "the random init)")
+    p.add_argument("--grad-clip", type=float, default=None,
+                   help="clip gradients to this global norm before the "
+                        "optimizer update (TrainConfig.grad_clip; the "
+                        "reference trains unclipped)")
+    p.add_argument("--weight-decay", type=float, default=None,
+                   help="AdamW decoupled weight decay "
+                        "(TrainConfig.weight_decay; default 0 = the "
+                        "reference's bare Adam)")
+    p.add_argument("--lr-warmup", type=int, default=None,
+                   help="linear LR warmup over this many steps "
+                        "(TrainConfig.lr_warmup_steps; default 0)")
     p.add_argument("--print-ram", action="store_true",
                    help="log host RSS + device HBM at each print cadence "
                         "(working version of the reference's dormant "
@@ -171,6 +182,16 @@ def main(argv=None):
         sweep = replace(sweep, eval_nll=True)
     if args.print_ram:
         cfg = replace(cfg, train=replace(cfg.train, print_ram=True))
+    if args.grad_clip is not None:
+        cfg = replace(cfg, train=replace(cfg.train, grad_clip=args.grad_clip))
+    if args.weight_decay is not None:
+        cfg = replace(
+            cfg, train=replace(cfg.train, weight_decay=args.weight_decay)
+        )
+    if args.lr_warmup is not None:
+        cfg = replace(
+            cfg, train=replace(cfg.train, lr_warmup_steps=args.lr_warmup)
+        )
     if args.ema_rate is not None:
         cfg = replace(cfg, train=replace(cfg.train, ema_rate=args.ema_rate))
     if args.no_ema_warmup:

@@ -159,6 +159,34 @@ def make_train_chunk(optimizer, sample_fn, batch_size, loss="ssm",
     return chunk
 
 
+def build_optimizer(lr, grad_clip=None, weight_decay=0.0, lr_warmup_steps=0):
+    """Compose the production optax chain from scalar knobs.
+
+    The reference trains with bare Adam at a fixed lr
+    (MSGM_higherDim.py:789); with all knobs at their defaults this returns
+    exactly that. The extras — global-norm gradient clipping, AdamW
+    decoupled weight decay, linear LR warmup — have no reference
+    counterpart but are standard production levers; any other
+    `optax.GradientTransformation` can be injected directly via
+    `Trainer(optimizer=...)`.
+    """
+    if grad_clip is None and weight_decay == 0.0 and lr_warmup_steps == 0:
+        return optax.adam(lr)
+    sched = (
+        optax.linear_schedule(0.0, lr, lr_warmup_steps)
+        if lr_warmup_steps > 0
+        else lr
+    )
+    tx = (
+        optax.adamw(sched, weight_decay=weight_decay)
+        if weight_decay
+        else optax.adam(sched)
+    )
+    if grad_clip is not None:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    return tx
+
+
 def update_ema(target_params, source_params, rate=0.99):
     """Exponential moving average of parameters: target ← rate·target +
     (1−rate)·source (reference: model/nn_utils.py:117-127 — defined there
@@ -202,8 +230,12 @@ class Trainer:
         print_ram: bool = False,
         ema_rate: Optional[float] = None,
         ema_warmup: bool = True,
+        optimizer=None,
     ):
-        self.optimizer = optax.adam(lr)
+        # any optax GradientTransformation can be injected (clipping,
+        # schedules, weight decay — see build_optimizer); default is the
+        # reference's bare Adam (MSGM_higherDim.py:789)
+        self.optimizer = optimizer if optimizer is not None else optax.adam(lr)
         self.ema_rate = ema_rate
         self.ema_warmup = ema_warmup
         self.state = TrainState(

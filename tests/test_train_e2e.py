@@ -358,3 +358,89 @@ def test_ema_warmup(rng):
     assert dist(st_f.ema_params, p0) < 0.01 * dist(st_w.ema_params, p0)
     assert dist(st_w.ema_params, st_w.params) < dist(st_f.ema_params,
                                                      st_f.params)
+
+
+def test_optimizer_injection_and_build_optimizer(rng):
+    """Trainer(optimizer=...) takes any optax chain; build_optimizer's
+    knobs behave: warmup zeroes the first update, clipping bounds the
+    update norm, and all-defaults reproduces bare Adam bitwise
+    (the reference's optimizer, MSGM_higherDim.py:789)."""
+    import optax
+
+    from sdeflow_tpu.training import build_optimizer
+
+    sampler = SwissRoll()
+    gen = _mk_sgm_gen(rng, sampler)
+    params = gen.a_params
+    grads = jax.tree_util.tree_map(lambda p: jnp.ones_like(p) * 100.0, params)
+
+    def gnorm(tree):
+        return float(
+            jnp.sqrt(
+                sum(jnp.sum(g**2) for g in jax.tree_util.tree_leaves(tree))
+            )
+        )
+
+    # defaults == bare adam (same update on the same grads)
+    tx_def, tx_adam = build_optimizer(1e-3), optax.adam(1e-3)
+    u_def, _ = tx_def.update(grads, tx_def.init(params), params)
+    u_adam, _ = tx_adam.update(grads, tx_adam.init(params), params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b), u_def, u_adam
+    )
+
+    # linear warmup: step-0 lr is 0, so the first update is exactly zero
+    tx_w = build_optimizer(1e-2, lr_warmup_steps=10)
+    u_w, _ = tx_w.update(grads, tx_w.init(params), params)
+    assert gnorm(u_w) == 0.0
+
+    # clipping caps the gradient global norm entering Adam: with huge raw
+    # grads the clipped update matches the update from pre-scaled grads
+    tx_c = build_optimizer(1e-3, grad_clip=1.0)
+    u_c, _ = tx_c.update(grads, tx_c.init(params), params)
+    scaled = jax.tree_util.tree_map(lambda g: g / gnorm(grads), grads)
+    u_s, _ = tx_adam.update(scaled, tx_adam.init(params), params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-8),
+        u_c, u_s,
+    )
+
+    # the full chain trains end to end through Trainer (per-step AND the
+    # fused-chunk path share the injected optimizer)
+    tx = build_optimizer(1e-3, grad_clip=1.0, weight_decay=1e-4,
+                         lr_warmup_steps=5)
+    trainer = Trainer(gen, sampler, batch_size=64, print_every=10_000,
+                      optimizer=tx, steps_per_dispatch=10)
+    state, final_loss = trainer.run(jax.random.fold_in(rng, 1), 50)
+    assert np.isfinite(final_loss)
+    assert int(state.step) == 50
+    changed = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()) > 0, params, state.params
+    )
+    assert all(jax.tree_util.tree_leaves(changed))
+
+
+def test_injected_optimizer_checkpoint_roundtrip(rng, tmp_path):
+    """A chain optimizer's opt_state (tuple of sub-states incl. the
+    schedule count) survives save/load and resumes identically."""
+    from sdeflow_tpu.training import build_optimizer
+
+    sampler = SwissRoll()
+    gen = _mk_sgm_gen(rng, sampler)
+    tx = build_optimizer(1e-3, grad_clip=1.0, lr_warmup_steps=20)
+    path = str(tmp_path / "ckpt_chain")
+
+    t1 = Trainer(gen, sampler, batch_size=32, print_every=2,
+                 optimizer=tx, checkpoint_path=path)
+    t1.run(jax.random.fold_in(rng, 1), 6)
+
+    t2 = Trainer(gen, sampler, batch_size=32, print_every=2,
+                 optimizer=tx, checkpoint_path=path)
+    state2, _ = t2.run(jax.random.fold_in(rng, 1), 12)
+
+    t3 = Trainer(gen, sampler, batch_size=32, print_every=2, optimizer=tx)
+    state3, _ = t3.run(jax.random.fold_in(rng, 1), 12)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7),
+        state2.params, state3.params,
+    )
