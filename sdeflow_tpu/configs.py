@@ -30,6 +30,12 @@ class TrainConfig:
     norm_map: Optional[str] = "log"
     dense_tensor: bool = True
     nn_archi: str = "MLP"  # MLP | Unet | Unet1D | DiT | DiT2D
+    # score-net compute dtype: "float32" | "bfloat16". bfloat16 is
+    # mixed-precision: flax keeps params (and Adam state, and the loss
+    # reduction — sde/reverse.py score() casts the net's output back to
+    # fp32) in float32 and casts per-op, so the MXU sees bf16 operands.
+    # No reference counterpart (the reference trains pure fp32 CUDA).
+    compute_dtype: str = "float32"
     num_samples_init_max: int = 100_000
     vtype: str = "rademacher"
     lr: float = 1e-3

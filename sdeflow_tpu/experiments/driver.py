@@ -154,9 +154,15 @@ def make_model(cfg: ExperimentConfig, dim, premodule, mesh=None):
     if tc.attention_impl == "ring" and mesh is None:
         raise ValueError('attention_impl="ring" requires a driver mesh '
                          "(run.py --tp N)")
+    if tc.compute_dtype in ("bfloat16", "bf16"):
+        dtype = jnp.bfloat16
+    elif tc.compute_dtype in ("float32", "fp32"):
+        dtype = jnp.float32
+    else:
+        raise ValueError(f"Unknown compute_dtype: {tc.compute_dtype}")
     if tc.nn_archi == "MLP":
         return MLP(input_dim=dim, index_dim=1, hidden_dim=128,
-                   premodule=premodule)
+                   premodule=premodule, dtype=dtype)
     if tc.nn_archi == "Unet":
         npixelx = int(np.sqrt(dim))
         if dim != npixelx**2:
@@ -172,6 +178,7 @@ def make_model(cfg: ExperimentConfig, dim, premodule, mesh=None):
             flatten_order="F",
             attention_impl=tc.attention_impl,
             mesh=mesh if tc.attention_impl == "ring" else None,
+            dtype=dtype,
         )
     if tc.nn_archi == "Unet1D":
         return UNet1D(
@@ -181,6 +188,7 @@ def make_model(cfg: ExperimentConfig, dim, premodule, mesh=None):
             num_res_blocks=tc.num_res_blocks,
             premodule=premodule,
             emb_dim=tc.emb_dim,
+            dtype=dtype,
         )
     if tc.nn_archi == "DiT":
         from sdeflow_tpu.models import DiT1D
@@ -192,6 +200,7 @@ def make_model(cfg: ExperimentConfig, dim, premodule, mesh=None):
             depth=tc.dit_depth,
             heads=tc.dit_heads,
             premodule=premodule,
+            dtype=dtype,
         )
     if tc.nn_archi == "DiT2D":
         from sdeflow_tpu.models import DiT2D
@@ -207,6 +216,7 @@ def make_model(cfg: ExperimentConfig, dim, premodule, mesh=None):
             heads=tc.dit_heads,
             premodule=premodule,
             flatten_order="F",
+            dtype=dtype,
         )
     raise ValueError(f"Unknown NN archi: {tc.nn_archi}")
 

@@ -100,10 +100,11 @@ class TimeMLP(nn.Module):
 
     emb_dim: int
     act: str = "silu"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, h):
         act = {"silu": nn.silu, "gelu": nn.gelu}[self.act]
-        h = nn.Dense(self.emb_dim, name="dense0")(h)
+        h = nn.Dense(self.emb_dim, dtype=self.dtype, name="dense0")(h)
         h = act(h)
-        return nn.Dense(self.emb_dim, name="dense1")(h)
+        return nn.Dense(self.emb_dim, dtype=self.dtype, name="dense1")(h)

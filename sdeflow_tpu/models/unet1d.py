@@ -21,12 +21,15 @@ class ConvBlock1D(nn.Module):
     """[Conv3 → GELU] × 2 (reference: NNUnet1D.py:13-24)."""
 
     out_ch: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.out_ch, (3,), padding="SAME", name="conv0")(x)
+        x = nn.Conv(self.out_ch, (3,), padding="SAME", dtype=self.dtype,
+                    name="conv0")(x)
         x = nn.gelu(x)
-        x = nn.Conv(self.out_ch, (3,), padding="SAME", name="conv1")(x)
+        x = nn.Conv(self.out_ch, (3,), padding="SAME", dtype=self.dtype,
+                    name="conv1")(x)
         return nn.gelu(x)
 
 
@@ -37,6 +40,10 @@ class UNet1D(nn.Module):
     num_res_blocks: int = 2  # kept for API symmetry with the reference
     premodule: Optional[str] = None  # None | "NormalizeLogRadius"
     emb_dim: int = 128
+    # compute dtype for convs/denses (bfloat16 feeds the MXU natively;
+    # params stay float32 — flax casts per-op). Norm statistics in the
+    # premodule stay fp32 regardless (computed before the cast).
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, t):
@@ -46,7 +53,8 @@ class UNet1D(nn.Module):
             x = x[..., None]  # (B, L, 1)
         t = jnp.reshape(t, (-1, 1)).astype(jnp.float32)
 
-        t_emb = TimeMLP(self.emb_dim, act="gelu", name="time_mlp")(t)  # (B, E)
+        t_emb = TimeMLP(self.emb_dim, act="gelu", dtype=self.dtype,
+                        name="time_mlp")(t)  # (B, E)
 
         if self.premodule == "NormalizeLogRadius":
             # norms over the full signal (reference normalizes over the last
@@ -55,10 +63,10 @@ class UNet1D(nn.Module):
             x = flat.reshape(x.shape)
             # rescale so per-entry std is length-independent (NNUnet1D.py:134)
             x = x * jnp.sqrt(jnp.asarray(x.shape[1], x.dtype))
-            scale_vec = TimeMLP(self.emb_dim, act="gelu", name="scale_embed")(
-                log_norm.reshape(-1, 1)
-            )
+            scale_vec = TimeMLP(self.emb_dim, act="gelu", dtype=self.dtype,
+                                name="scale_embed")(log_norm.reshape(-1, 1))
             t_emb = t_emb + scale_vec
+        x = x.astype(self.dtype)
 
         def with_emb(h):
             # concat the time embedding as channels at every spatial position
@@ -73,27 +81,29 @@ class UNet1D(nn.Module):
         skips = []
         h = x
         for i, out_ch in enumerate(chs):
-            h = ConvBlock1D(out_ch, name=f"enc{i}")(with_emb(h))
+            h = ConvBlock1D(out_ch, dtype=self.dtype, name=f"enc{i}")(with_emb(h))
             skips.append(h)
             h = nn.Conv(
-                out_ch, (4,), strides=(2,), padding=((1, 1),), name=f"down{i}"
+                out_ch, (4,), strides=(2,), padding=((1, 1),),
+                dtype=self.dtype, name=f"down{i}"
             )(h)
 
         # -------- bottleneck (NNUnet1D.py:90, 162-163) --------
-        h = ConvBlock1D(chs[-1], name="middle")(with_emb(h))
+        h = ConvBlock1D(chs[-1], dtype=self.dtype, name="middle")(with_emb(h))
 
         # -------- decoder (NNUnet1D.py:93-104, 166-176) --------
         for i, out_ch in enumerate(reversed(chs)):
             h = nn.ConvTranspose(
-                out_ch, (4,), strides=(2,), padding="SAME", name=f"up{i}"
+                out_ch, (4,), strides=(2,), padding="SAME",
+                dtype=self.dtype, name=f"up{i}"
             )(h)
             skip = skips.pop()
             if h.shape[1] != skip.shape[1]:  # odd-length pad fix
                 pad = skip.shape[1] - h.shape[1]
                 h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
-            h = ConvBlock1D(out_ch, name=f"dec{i}")(
+            h = ConvBlock1D(out_ch, dtype=self.dtype, name=f"dec{i}")(
                 with_emb(jnp.concatenate([h, skip], axis=-1))
             )
 
-        out = nn.Conv(1, (1,), name="final")(h)  # (B, L, 1)
+        out = nn.Conv(1, (1,), dtype=self.dtype, name="final")(h)  # (B, L, 1)
         return out[..., 0]

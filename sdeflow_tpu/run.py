@@ -94,6 +94,11 @@ def build_parser():
     p.add_argument("--lr-warmup", type=int, default=None,
                    help="linear LR warmup over this many steps "
                         "(TrainConfig.lr_warmup_steps; default 0)")
+    p.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
+                   default=None,
+                   help="score-net compute dtype (TrainConfig.compute_dtype; "
+                        "bfloat16 = mixed precision: fp32 params/optimizer "
+                        "state/loss reduction, bf16 matmuls on the MXU)")
     p.add_argument("--print-ram", action="store_true",
                    help="log host RSS + device HBM at each print cadence "
                         "(working version of the reference's dormant "
@@ -191,6 +196,10 @@ def main(argv=None):
     if args.lr_warmup is not None:
         cfg = replace(
             cfg, train=replace(cfg.train, lr_warmup_steps=args.lr_warmup)
+        )
+    if args.compute_dtype is not None:
+        cfg = replace(
+            cfg, train=replace(cfg.train, compute_dtype=args.compute_dtype)
         )
     if args.ema_rate is not None:
         cfg = replace(cfg, train=replace(cfg.train, ema_rate=args.ema_rate))

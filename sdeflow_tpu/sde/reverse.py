@@ -85,8 +85,15 @@ class PluginReverseSDE:
 
     # -- learned drift --------------------------------------------------------
     def score(self, y, t):
-        """a(y, t) with t normalized to (B,) (reference calls a(y, s.squeeze()))."""
-        return self.a_apply(self.a_params, y, _trow(t, y.shape[0], y.dtype))
+        """a(y, t) with t normalized to (B,) (reference calls a(y, s.squeeze())).
+
+        The output is cast back to y.dtype: with a bfloat16 compute-dtype
+        score net (mixed-precision training/serving) the SDE algebra, the
+        Hutchinson JVP reduction and the ‖a‖² loss term all run in fp32 —
+        jnp's promotion rules would upcast the products anyway, so for the
+        existing fp32 paths this is bitwise-identical."""
+        a = self.a_apply(self.a_params, y, _trow(t, y.shape[0], y.dtype))
+        return a.astype(y.dtype)
 
     def ga(self, s, y):
         """g(s,y)·a(y,s) — covers the reference's dense einsum / sparse

@@ -487,6 +487,78 @@ def sec_unet_trainer():
     return out
 
 
+def sec_bf16_trainer():
+    """Mixed-precision training (TrainConfig.compute_dtype="bfloat16"):
+    fused-trainer steps/s with bf16 vs fp32 compute dtype, measured in one
+    session for an honest ratio, on the two conv-heavy configs — the 16x16
+    image VorticityUNet (SGM arm of sec_unet_trainer) and the d=1000
+    UNet1D (SGM arm of sec_unet1d). Params, Adam state and the SSM loss
+    reduction stay fp32 (sde/reverse.py score() boundary); only the net's
+    matmuls/convs run bf16 on the MXU."""
+    import time
+
+    import numpy as np
+    import optax
+
+    from sdeflow_tpu.data import SmoothedGRF
+    from sdeflow_tpu.models import UNet1D, VorticityUNet
+    from sdeflow_tpu.sde import SGMSde, PluginReverseSDE
+    from sdeflow_tpu.training import TrainState
+    from sdeflow_tpu.training.train import make_train_chunk
+
+    key = jax.random.PRNGKey(0)
+    opt = optax.adam(1e-4)
+    out = {}
+
+    def steps_per_s(chunk, state, small, big):
+        def run(n):
+            t0 = time.perf_counter()
+            np.asarray(chunk(state, key, n)[1])
+            return time.perf_counter() - t0
+
+        run(small), run(big)
+        ts = min(run(small) for _ in range(3))
+        tb = min(run(big) for _ in range(3))
+        return (big - small) / max(tb - ts, 1e-9)
+
+    sde = SGMSde.create(beta_min=0.4, beta_max=80.0, t_epsilon=4e-3,
+                        num_steps_forward=64)
+    sampler = SmoothedGRF(npixel=16)
+    x_probe = sampler.sample(key, 8)
+    for tag, dtype in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
+        model = VorticityUNet(
+            base_channels=32, channel_mults=(1, 2, 4), num_res_blocks=2,
+            in_space=16, attention_resolutions=(2, 4), flatten_order="F",
+            dtype=dtype,
+        )
+        variables = model.init(key, x_probe, jnp.zeros((8,)))
+        gen = PluginReverseSDE.create(sde, model.apply, variables)
+        state = TrainState(gen_sde=gen, opt_state=opt.init(gen.a_params),
+                           step=jnp.zeros((), jnp.int32))
+        chunk = make_train_chunk(opt, sampler.sample, 128)
+        out[f"unet16_sgm_train_{tag}_steps_per_s"] = steps_per_s(
+            chunk, state, 8, 72)
+
+    d = 1000
+    sde1d = SGMSde.create(beta_min=0.1, beta_max=20.0, t_epsilon=1e-3,
+                          num_steps_forward=16)
+
+    def sample_fn(k, n):
+        return jax.random.normal(k, (n, d), dtype=jnp.float32)
+
+    for tag, dtype in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
+        model = UNet1D(input_dim=d, base_channels=32, channel_mults=(1, 2, 4),
+                       num_res_blocks=2, emb_dim=128, dtype=dtype)
+        variables = model.init(key, jnp.zeros((8, d)), jnp.zeros((8,)))
+        gen = PluginReverseSDE.create(sde1d, model.apply, variables)
+        state = TrainState(gen_sde=gen, opt_state=opt.init(gen.a_params),
+                           step=jnp.zeros((), jnp.int32))
+        chunk = make_train_chunk(opt, sample_fn, 32)
+        out[f"unet1d_d1000_sgm_train_{tag}_steps_per_s"] = steps_per_s(
+            chunk, state, 16, 144)
+    return out
+
+
 def sec_dpm_sampling():
     """Low-NFE serving with the DPM-Solver++ 2M exponential integrator
     (ops/expint.py, SGM only): the same two SGM serving programs as the
@@ -694,6 +766,7 @@ SECTIONS = {
     "unet_forward": sec_unet_forward,
     "unet_sampling": sec_unet_sampling,
     "unet_trainer": sec_unet_trainer,
+    "bf16_trainer": sec_bf16_trainer,
     "trainer": sec_trainer,
     "flash_fwd": sec_flash_fwd,
     "flash_bwd": sec_flash_bwd,
