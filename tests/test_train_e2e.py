@@ -444,3 +444,46 @@ def test_injected_optimizer_checkpoint_roundtrip(rng, tmp_path):
         lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7),
         state2.params, state3.params,
     )
+
+
+def test_gradient_accumulation_via_multisteps(rng):
+    """optax.MultiSteps composes with Trainer(optimizer=...): k micro-step
+    gradients are buffered (params frozen within the window, one real
+    update per k steps), through both the per-step and the fused-chunk
+    (steps_per_dispatch) paths. This is the production recipe for batches
+    too large for HBM — no Trainer-side code needed."""
+    import optax
+
+    sampler = SwissRoll()
+    gen = _mk_sgm_gen(rng, sampler)
+    k = 4
+    tx = optax.MultiSteps(optax.adam(1e-3), every_k_schedule=k)
+
+    # per-step path: params must be frozen inside an accumulation window
+    t1 = Trainer(gen, sampler, batch_size=64, print_every=1000, optimizer=tx)
+    p0 = t1.state.params
+    key = jax.random.fold_in(rng, 1)
+    state = t1.state
+    for i in range(k - 1):
+        key, sub = jax.random.split(key)
+        x = sampler.sample(sub, 64)
+        state, _ = t1.train_step(state, sub, x)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(a, b),
+            state.params, p0,
+        )
+    key, sub = jax.random.split(key)
+    state, _ = t1.train_step(state, sub, sampler.sample(sub, 64))
+    moved = sum(
+        float(jnp.sum(jnp.abs(a - b)))
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(p0))
+    )
+    assert moved > 0.0  # the k-th micro-step applies the accumulated update
+
+    # fused-chunk path: trains to a lower loss over a few hundred steps
+    t2 = Trainer(gen, sampler, batch_size=64, print_every=1000,
+                 optimizer=tx, steps_per_dispatch=64)
+    _, final_loss = t2.run(jax.random.fold_in(rng, 2), 512)
+    first_loss = t2.history[0]["loss"]
+    assert np.isfinite(final_loss) and final_loss < first_loss
