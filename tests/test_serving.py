@@ -163,3 +163,28 @@ def test_export_encoder_roundtrip(rng, tmp_path):
         np.testing.assert_allclose(
             integrate_ode(gen, z, 32), xb, atol=5e-3, rtol=0
         )
+
+
+def test_export_bf16_net(rng, tmp_path):
+    """A bfloat16 compute-dtype score net exports and serves: the bf16
+    casts are baked into the serialized program, the artifact reproduces
+    the in-process mixed-precision sampler, and outputs stay fp32 at the
+    boundary (PluginReverseSDE.score casts back to the state dtype)."""
+    sampler = SwissRoll()
+    model = MLP(input_dim=2, dtype=jnp.bfloat16)
+    x = sampler.sample(rng, 32)
+    variables = model.init(rng, x, jnp.zeros((32,)))
+    gen = PluginReverseSDE.create(
+        SGMSde.create(num_steps_forward=8), model.apply, variables
+    )
+    path = str(tmp_path / "model_bf16.sdeflow")
+    export_sampler(gen, path, num_samples=64, dim=2, num_steps=16)
+
+    served = Sampler(path)
+    key = jax.random.PRNGKey(7)
+    out_served = served(key)
+    out_direct = make_sampler_fn(gen, 64, 2, 16)(key)
+    assert out_served.dtype == jnp.float32
+    assert np.isfinite(np.asarray(out_served)).all()
+    assert np.allclose(np.asarray(out_served), np.asarray(out_direct),
+                       rtol=1e-4, atol=1e-3)

@@ -51,6 +51,12 @@ def main():
                     help="score net: the reference-matched attention U-Net "
                          "(default) or the MXU-native DiT2D transformer "
                          "(grf16_dit preset shapes — beyond-reference arm)")
+    ap.add_argument("--compute-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="score-net compute dtype. The parity arms stay "
+                         "fp32 (the reference is pure-fp32 CUDA); bfloat16 "
+                         "is the production mixed-precision measurement "
+                         "(fp32 params/optimizer/loss reduction)")
     ap.add_argument("--out", default="parity_image_ours.json")
     args = ap.parse_args()
 
@@ -81,15 +87,19 @@ def main():
         sampler = SmoothedGRF(npixel=16)
         d = sampler.dim
         premodule = "NormalizeLogRadius" if is_msgm else None
+        dtype = (jnp.bfloat16 if args.compute_dtype == "bfloat16"
+                 else jnp.float32)
         if args.archi == "dit":
             # grf16_dit preset shapes (configs.py _grf_dit)
             model = DiT2D(in_space=16, patch=4, width=512, depth=6, heads=4,
-                          premodule=premodule, flatten_order="F")
+                          premodule=premodule, flatten_order="F",
+                          dtype=dtype)
         else:
             model = VorticityUNet(
                 base_channels=32, channel_mults=(1, 2, 4), num_res_blocks=2,
                 premodule=premodule, in_space=16,
                 attention_resolutions=(2, 4), flatten_order="F",
+                dtype=dtype,
             )
         x_probe = sampler.sample(key, 8)
         variables = model.init(key, x_probe, jnp.zeros((8,)))
@@ -159,6 +169,8 @@ def main():
                 **({"dpm_grid": args.dpm_grid} if samp in SGM_ONLY
                    else {}),
                 **({"ema_rate": args.ema_rate} if args.ema_rate else {}),
+                **({"compute_dtype": args.compute_dtype}
+                   if args.compute_dtype != "float32" else {}),
                 backend=jax.default_backend(),
                 train_s=train_s, ms_per_step=train_s / args.iters * 1000,
                 sample_s=sample_s, samples_per_s=args.samples / sample_s,

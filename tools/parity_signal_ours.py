@@ -50,6 +50,12 @@ def main():
                          "parity arms stay EMA-off (the reference protocol "
                          "never calls its update_ema); --ema-rate 0.999 is "
                          "the production-mode measurement")
+    ap.add_argument("--compute-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="score-net compute dtype. The parity arms stay "
+                         "fp32 (the reference is pure-fp32 CUDA); bfloat16 "
+                         "is the production mixed-precision measurement "
+                         "(fp32 params/optimizer/loss reduction)")
     ap.add_argument("--out", default="parity_signal_ours.json")
     args = ap.parse_args()
 
@@ -83,14 +89,16 @@ def main():
         sampler = Lorenz63(dim=1000, normalized=True)
         d = sampler.dim
         premodule = "NormalizeLogRadius" if is_msgm else None
+        dtype = (jnp.bfloat16 if args.compute_dtype == "bfloat16"
+                 else jnp.float32)
         if args.archi == "dit":
             from sdeflow_tpu.models import DiT1D
 
-            model = DiT1D(input_dim=d, premodule=premodule)
+            model = DiT1D(input_dim=d, premodule=premodule, dtype=dtype)
         else:
             model = UNet1D(input_dim=d, base_channels=32,
                            channel_mults=(1, 2, 4), num_res_blocks=2,
-                           premodule=premodule, emb_dim=128)
+                           premodule=premodule, emb_dim=128, dtype=dtype)
         x_probe = sampler.sample(key, 8)
         variables = model.init(key, x_probe, jnp.zeros((8,)))
         beta_min, beta_max, t_eps, steps_fwd = 0.1, 20.0, 1e-3, 16
@@ -149,6 +157,8 @@ def main():
                 **({"dpm_grid": args.dpm_grid} if samp in SGM_ONLY
                    else {}),
                 **({"ema_rate": args.ema_rate} if args.ema_rate else {}),
+                **({"compute_dtype": args.compute_dtype}
+                   if args.compute_dtype != "float32" else {}),
                 backend=jax.default_backend(),
                 train_s=train_s, ms_per_step=train_s / args.iters * 1000,
                 sample_s=sample_s, samples_per_s=args.samples / sample_s,
