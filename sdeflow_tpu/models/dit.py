@@ -114,6 +114,10 @@ class DiT1D(nn.Module):
     mlp_ratio: int = 4
     premodule: Optional[str] = None  # None | "NormalizeLogRadius"
     dtype: jnp.dtype = jnp.float32
+    # fp32 final adaLN modulation + head projection under a bf16
+    # compute dtype (the score grows like 1/std(t) near t_epsilon —
+    # see models/mlp.py); no-op for fp32
+    fp32_head: bool = True
 
     @nn.compact
     def __call__(self, x, t):
@@ -154,15 +158,16 @@ class DiT1D(nn.Module):
             )(h, c)
 
         # adaLN final layer + zero-init head: score ≡ 0 at init
+        head_dtype = jnp.float32 if self.fp32_head else self.dtype
         mod = nn.Dense(
             2 * self.width, kernel_init=zero_init(), bias_init=zero_init(),
-            dtype=self.dtype, name="ada_out",
+            dtype=head_dtype, name="ada_out",
         )(nn.silu(c))[:, None, :]
         sh, sc = jnp.split(mod, 2, axis=-1)
         h = _ln(h) * (1.0 + sc) + sh
         h = nn.Dense(
             self.patch, kernel_init=zero_init(), bias_init=zero_init(),
-            dtype=self.dtype, name="head_out",
+            dtype=head_dtype, name="head_out",
         )(h)
         out = h.reshape(-1, n_tok * self.patch)[:, : self.input_dim]
         return out.astype(jnp.float32).reshape(sz)
@@ -191,6 +196,10 @@ class DiT2D(nn.Module):
     premodule: Optional[str] = None  # None | "NormalizeLogRadius"
     flatten_order: str = "C"
     dtype: jnp.dtype = jnp.float32
+    # fp32 final adaLN modulation + head projection under a bf16
+    # compute dtype (the score grows like 1/std(t) near t_epsilon —
+    # see models/mlp.py); no-op for fp32
+    fp32_head: bool = True
 
     @nn.compact
     def __call__(self, x, t, deterministic=True):
@@ -245,15 +254,16 @@ class DiT2D(nn.Module):
                 dtype=self.dtype, name=f"block{i}",
             )(h, c)
 
+        head_dtype = jnp.float32 if self.fp32_head else self.dtype
         mod = nn.Dense(
             2 * self.width, kernel_init=zero_init(), bias_init=zero_init(),
-            dtype=self.dtype, name="ada_out",
+            dtype=head_dtype, name="ada_out",
         )(nn.silu(c))[:, None, :]
         sh, sc = jnp.split(mod, 2, axis=-1)
         h = _ln(h) * (1.0 + sc) + sh
         h = nn.Dense(
             p * p, kernel_init=zero_init(), bias_init=zero_init(),
-            dtype=self.dtype, name="head_out",
+            dtype=head_dtype, name="head_out",
         )(h)
         # unpatchify back to (B, H, W, 1)
         y = h.reshape(b, hp, wp, p, p)

@@ -22,6 +22,12 @@ class MLP(nn.Module):
     hidden_dim: int = 128
     premodule: Optional[str] = None  # None | "NormalizeLogRadius"
     dtype: jnp.dtype = jnp.float32
+    # compute the output projection in fp32 even under a bf16 compute
+    # dtype (standard mixed-precision practice): the score magnitude grows
+    # like 1/std(t) near t_epsilon, so head rounding perturbs the drift
+    # directly — quality effect measured in BF16_ABLATION{,_bf16head}.json.
+    # No-op when dtype is fp32.
+    fp32_head: bool = True
 
     @nn.compact
     def __call__(self, x, t):
@@ -39,5 +45,6 @@ class MLP(nn.Module):
         for i in range(3):
             h = nn.Dense(self.hidden_dim, dtype=self.dtype, name=f"dense{i}")(h)
             h = nn.swish(h)
-        out = nn.Dense(self.input_dim, dtype=self.dtype, name="dense_out")(h)
+        head_dtype = jnp.float32 if self.fp32_head else self.dtype
+        out = nn.Dense(self.input_dim, dtype=head_dtype, name="dense_out")(h)
         return out.astype(jnp.float32).reshape(sz)

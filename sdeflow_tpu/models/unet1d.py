@@ -44,6 +44,9 @@ class UNet1D(nn.Module):
     # params stay float32 — flax casts per-op). Norm statistics in the
     # premodule stay fp32 regardless (computed before the cast).
     dtype: jnp.dtype = jnp.float32
+    # fp32 output projection under a bf16 compute dtype (the score grows
+    # like 1/std(t) near t_epsilon — see models/mlp.py); no-op for fp32
+    fp32_head: bool = True
 
     @nn.compact
     def __call__(self, x, t):
@@ -105,5 +108,6 @@ class UNet1D(nn.Module):
                 with_emb(jnp.concatenate([h, skip], axis=-1))
             )
 
-        out = nn.Conv(1, (1,), dtype=self.dtype, name="final")(h)  # (B, L, 1)
+        head_dtype = jnp.float32 if self.fp32_head else self.dtype
+        out = nn.Conv(1, (1,), dtype=head_dtype, name="final")(h)  # (B, L, 1)
         return out[..., 0]

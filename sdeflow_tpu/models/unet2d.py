@@ -298,6 +298,9 @@ class UNetModel(nn.Module):
     # compute dtype for convs/denses (bfloat16 feeds the MXU natively;
     # GroupNorm statistics always stay fp32, and the model output is fp32)
     dtype: jnp.dtype = jnp.float32
+    # fp32 output conv under a bf16 compute dtype (the score grows like
+    # 1/std(t) near t_epsilon — see models/mlp.py); no-op for fp32
+    fp32_head: bool = True
     # attention backend for every AttentionBlock: "auto" (single-chip fused
     # core) or "ring" (sequence-parallel over mesh's seq_axis)
     attention_impl: str = "auto"
@@ -440,7 +443,7 @@ class UNetModel(nn.Module):
             padding="SAME",
             kernel_init=zero_init(),
             bias_init=zero_init(),
-            dtype=self.dtype,
+            dtype=jnp.float32 if self.fp32_head else self.dtype,
             name="conv_out",
         )(out).astype(jnp.float32)
         if return_features:

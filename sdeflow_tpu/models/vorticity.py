@@ -68,6 +68,7 @@ class VorticityUNet(nn.Module):
     learn_potential: bool = False
     flatten_order: str = "C"
     dtype: jnp.dtype = jnp.float32
+    fp32_head: bool = True  # see models/mlp.py
     # attention backend ("auto" single-chip | "ring" sequence-parallel over
     # mesh's seq_axis — the SURVEY §5 long-context multi-chip leg)
     attention_impl: str = "auto"
@@ -92,6 +93,7 @@ class VorticityUNet(nn.Module):
             use_scale_shift_norm=False,
             learn_potential=self.learn_potential,
             dtype=self.dtype,
+            fp32_head=self.fp32_head,
             attention_impl=self.attention_impl,
             mesh=self.mesh,
             seq_axis=self.seq_axis,

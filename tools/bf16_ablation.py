@@ -31,6 +31,11 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--samples", type=int, default=10_000)
     ap.add_argument("--seeds", default="0")
+    ap.add_argument("--no-fp32-head", action="store_true",
+                    help="compute the output projection in the net's bf16 "
+                         "dtype instead of the default fp32 head "
+                         "(models/mlp.py fp32_head) — measures what the "
+                         "fp32 head buys")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default="BF16_ABLATION.json")
     args = ap.parse_args()
@@ -50,7 +55,7 @@ def main():
     from sdeflow_tpu.training import Trainer
 
     out = {"backend": jax.default_backend(), "iters": args.iters,
-           "rows": []}
+           "fp32_head": not args.no_fp32_head, "rows": []}
     d = 2
     for seed in [int(x) for x in args.seeds.split(",")]:
         key = jax.random.PRNGKey(seed)
@@ -78,7 +83,8 @@ def main():
             k_solve = jax.random.fold_in(key, 4)
 
             for tag, dtype in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
-                model = MLP(input_dim=d, premodule=premodule, dtype=dtype)
+                model = MLP(input_dim=d, premodule=premodule, dtype=dtype,
+                            fp32_head=not args.no_fp32_head)
                 # same init key -> identical fp32 initial params in both arms
                 variables = model.init(key, x_probe, jnp.zeros((64,)))
                 gen0 = PluginReverseSDE.create(sde, model.apply, variables)
