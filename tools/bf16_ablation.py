@@ -14,7 +14,11 @@ TrainConfig.compute_dtype="bfloat16" knob whose speed side is
 tools/measure_perf.py sec_bf16_trainer.
 
 Usage: python tools/bf16_ablation.py [--cpu] [--iters 16384] [--seeds 0,1]
-Writes BF16_ABLATION.json.
+       python tools/bf16_ablation.py --archi unet1d --dim 64 --iters 4096
+Writes BF16_ABLATION.json (MLP d=2 swissroll) / BF16_ABLATION_UNET1D.json
+(--archi unet1d: conv score net on a correlated Gaussian, the reference's
+gaussiancor datatype at conv-realistic width — the regime where bfloat16
+would actually be deployed).
 """
 
 import argparse
@@ -31,6 +35,11 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--samples", type=int, default=10_000)
     ap.add_argument("--seeds", default="0")
+    ap.add_argument("--archi", default="mlp", choices=["mlp", "unet1d"],
+                    help="score net: the d=2 MLP on swissroll (default) or "
+                         "UNet1D on a correlated Gaussian (--dim)")
+    ap.add_argument("--dim", type=int, default=64,
+                    help="signal dimension for --archi unet1d")
     ap.add_argument("--no-fp32-head", action="store_true",
                     help="compute the output projection in the net's bf16 "
                          "dtype instead of the default fp32 head "
@@ -46,22 +55,27 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    from sdeflow_tpu.data import SwissRoll
+    from sdeflow_tpu.data import Gaussian, SwissRoll
     from sdeflow_tpu.eval import compute_mmd
     from sdeflow_tpu.eval.diagnostics import filter_blowups
-    from sdeflow_tpu.models import MLP
+    from sdeflow_tpu.models import MLP, UNet1D
     from sdeflow_tpu.sde import MSGMSde, PluginReverseSDE, SGMSde
     from sdeflow_tpu.serving import make_sampler_fn
     from sdeflow_tpu.training import Trainer
 
     out = {"backend": jax.default_backend(), "iters": args.iters,
+           "archi": args.archi,
            "fp32_head": not args.no_fp32_head, "rows": []}
-    d = 2
+    d = 2 if args.archi == "mlp" else args.dim
     for seed in [int(x) for x in args.seeds.split(",")]:
         key = jax.random.PRNGKey(seed)
         for is_msgm in (False, True):
             arm = "MSGM" if is_msgm else "SGM"
-            sampler = SwissRoll()
+            if args.archi == "unet1d":
+                sampler = Gaussian(jax.random.fold_in(key, 7), dim=d,
+                                   correlation=True, normalized=True)
+            else:
+                sampler = SwissRoll()
             premodule = "NormalizeLogRadius" if is_msgm else None
             x_probe = sampler.sample(key, 64)
             if is_msgm:
@@ -83,8 +97,15 @@ def main():
             k_solve = jax.random.fold_in(key, 4)
 
             for tag, dtype in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
-                model = MLP(input_dim=d, premodule=premodule, dtype=dtype,
-                            fp32_head=not args.no_fp32_head)
+                if args.archi == "unet1d":
+                    model = UNet1D(input_dim=d, base_channels=32,
+                                   channel_mults=(1, 2), num_res_blocks=2,
+                                   premodule=premodule, emb_dim=64,
+                                   dtype=dtype,
+                                   fp32_head=not args.no_fp32_head)
+                else:
+                    model = MLP(input_dim=d, premodule=premodule, dtype=dtype,
+                                fp32_head=not args.no_fp32_head)
                 # same init key -> identical fp32 initial params in both arms
                 variables = model.init(key, x_probe, jnp.zeros((64,)))
                 gen0 = PluginReverseSDE.create(sde, model.apply, variables)
