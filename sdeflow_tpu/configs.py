@@ -36,6 +36,11 @@ class TrainConfig:
     # fp32) in float32 and casts per-op, so the MXU sees bf16 operands.
     # No reference counterpart (the reference trains pure fp32 CUDA).
     compute_dtype: str = "float32"
+    # learned-drift output parameterization: "direct" (the reference's,
+    # SDEs.py:563-579) | "eps" (net predicts O(1) noise, output rescaled
+    # by -g/std — DDPM/EDM-style preconditioning; SGM arms only, MSGM
+    # always runs direct). See sde/reverse.py `parameterization`.
+    parameterization: str = "direct"
     num_samples_init_max: int = 100_000
     vtype: str = "rademacher"
     lr: float = 1e-3

@@ -309,8 +309,12 @@ class ExperimentDriver:
                 T=tc.T0, t_epsilon=tc.t_eps,
                 num_steps_forward=tc.num_steps_forward,
             )
+        # eps output preconditioning needs the closed-form kernel — SGM only
+        # (sde/reverse.py parameterization); MSGM arms stay "direct"
+        param = tc.parameterization if not is_msgm else "direct"
         gen = PluginReverseSDE.create(
-            sde, model.apply, variables, vtype=tc.vtype, ssm_intT=ssm_intT
+            sde, model.apply, variables, vtype=tc.vtype, ssm_intT=ssm_intT,
+            parameterization=param,
         )
         return model, gen
 

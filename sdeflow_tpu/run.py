@@ -94,6 +94,13 @@ def build_parser():
     p.add_argument("--lr-warmup", type=int, default=None,
                    help="linear LR warmup over this many steps "
                         "(TrainConfig.lr_warmup_steps; default 0)")
+    p.add_argument("--parameterization", choices=["direct", "eps"],
+                   default=None,
+                   help="learned-drift output form (TrainConfig"
+                        ".parameterization): 'eps' rescales the net output "
+                        "by -g/std so the net learns O(1) noise (SGM arms "
+                        "only; better-conditioned targets, required for "
+                        "bf16 SGM training)")
     p.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
                    default=None,
                    help="score-net compute dtype (TrainConfig.compute_dtype; "
@@ -196,6 +203,10 @@ def main(argv=None):
     if args.lr_warmup is not None:
         cfg = replace(
             cfg, train=replace(cfg.train, lr_warmup_steps=args.lr_warmup)
+        )
+    if args.parameterization is not None:
+        cfg = replace(
+            cfg, train=replace(cfg.train, parameterization=args.parameterization)
         )
     if args.compute_dtype is not None:
         cfg = replace(

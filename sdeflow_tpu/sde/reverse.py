@@ -50,6 +50,19 @@ class PluginReverseSDE:
     vtype: str = struct.field(pytree_node=False, default="rademacher")
     ssm_intT: bool = struct.field(pytree_node=False, default=False)
     debias: bool = struct.field(pytree_node=False, default=False)
+    # output parameterization of the learned drift (beyond-reference knob;
+    # the reference always learns a directly, SDEs.py:563-579):
+    #   "direct": a(y,t) = net(y,t)
+    #   "eps":    a(y,t) = -(g(t)/std(t)) · net(y,t) — the net predicts the
+    #             O(1) noise ε instead of the score-scaled drift, whose
+    #             magnitude grows like g/std ≈ 23 at t_epsilon for the
+    #             default VP schedule (DDPM/score_sde ε-prediction; EDM-style
+    #             output preconditioning). Better-conditioned targets for
+    #             training — required for bf16 compute dtypes on SGM, where
+    #             learning the large-magnitude direct output was measured
+    #             4× worse (BF16_ABLATION_UNET1D.json). Closed-form-kernel
+    #             SDEs only (SGM).
+    parameterization: str = struct.field(pytree_node=False, default="direct")
     # static index of the first forward-grid step with t > t_epsilon
     # (replaces the reference's data-dependent boolean mask drop,
     #  SDEs.py:695-706, with a static slice)
@@ -65,7 +78,15 @@ class PluginReverseSDE:
         vtype="rademacher",
         ssm_intT=False,
         debias=False,
+        parameterization="direct",
     ):
+        if parameterization not in ("direct", "eps"):
+            raise ValueError(f"Unknown parameterization: {parameterization}")
+        if parameterization == "eps" and not hasattr(base_sde, "var"):
+            raise ValueError(
+                'parameterization="eps" requires a closed-form forward '
+                "kernel (SGM): the output scale is g(t)/std(t)"
+            )
         T = base_sde.T if T is None else jnp.asarray(T)
         num_steps = base_sde.num_steps_forward
         grid = np.linspace(
@@ -80,6 +101,7 @@ class PluginReverseSDE:
             vtype=vtype,
             ssm_intT=ssm_intT,
             debias=debias,
+            parameterization=parameterization,
             intT_start=intT_start,
         )
 
@@ -91,9 +113,24 @@ class PluginReverseSDE:
         score net (mixed-precision training/serving) the SDE algebra, the
         Hutchinson JVP reduction and the ‖a‖² loss term all run in fp32 —
         jnp's promotion rules would upcast the products anyway, so for the
-        existing fp32 paths this is bitwise-identical."""
+        existing fp32 paths this is bitwise-identical.
+
+        Under parameterization="eps" the net output is rescaled by
+        -g(t)/std(t), so downstream consumers (losses, samplers, NLL)
+        still see the same object a ≈ gᵀ∇log q either way."""
         a = self.a_apply(self.a_params, y, _trow(t, y.shape[0], y.dtype))
-        return a.astype(y.dtype)
+        a = a.astype(y.dtype)
+        if self.parameterization == "eps":
+            # clamp the scale's time at t_epsilon: std(0) = 0 and the
+            # reverse solve evaluates s = T − t all the way to s → 0,
+            # below the training truncation (SDEs.py:684-693) — the same
+            # region where the direct net extrapolates
+            tt = jnp.maximum(
+                _trow(t, y.shape[0], y.dtype), self.base_sde.t_epsilon
+            ).reshape((-1,) + (1,) * (y.ndim - 1))
+            std = jnp.sqrt(self.base_sde.var(tt))
+            a = -(self.base_sde.g_diag(tt.reshape(-1), y) / std) * a
+        return a
 
     def ga(self, s, y):
         """g(s,y)·a(y,s) — covers the reference's dense einsum / sparse

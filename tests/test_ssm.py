@@ -120,3 +120,92 @@ def test_dsm_loss(rng):
     gen_m, x0m = _mk_gen(rng, "msgm")
     with pytest.raises(ValueError):
         gen_m.dsm(jax.random.fold_in(rng, 8), x0m[:32])
+
+
+def test_eps_parameterization(rng):
+    """parameterization="eps": score() = -(g/std)·net, so every consumer
+    (losses, samplers, NLL) sees the same a ≈ gᵀ∇log q object either way —
+    asserted via the exact algebraic identity against the direct
+    parameterization of the same net, plus finiteness of the SSM/DSM
+    losses and a reverse solve, plus the closed-form-kernel guard."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sdeflow_tpu.models import MLP
+    from sdeflow_tpu.sde import SGMSde, MSGMSde, PluginReverseSDE
+
+    x = jax.random.normal(rng, (32, 2))
+    model = MLP(input_dim=2)
+    variables = model.init(rng, x, jnp.zeros((32,)))
+    sde = SGMSde.create(num_steps_forward=8)
+
+    gen_eps = PluginReverseSDE.create(sde, model.apply, variables,
+                                      parameterization="eps")
+    gen_dir = PluginReverseSDE.create(sde, model.apply, variables)
+    t = jnp.linspace(0.05, 0.9, 32)
+
+    # identity: score_eps = -(g/std) * score_direct (same net output)
+    g = jnp.sqrt(sde.beta(t.reshape(-1, 1)))
+    std = jnp.sqrt(sde.var(t.reshape(-1, 1)))
+    np.testing.assert_allclose(
+        np.asarray(gen_eps.score(x, t)),
+        np.asarray(-(g / std) * gen_dir.score(x, t)),
+        rtol=1e-6,
+    )
+
+    # losses and sampling run finite through the rescaled drift
+    assert bool(jnp.isfinite(gen_eps.ssm(rng, x)).all())
+    assert bool(jnp.isfinite(gen_eps.dsm(rng, x)).all())
+    from sdeflow_tpu.ops.integrators import integrate_sde
+
+    out = jax.jit(
+        lambda g_, z, k: integrate_sde(g_, z, k, 8, method="rk4")
+    )(gen_eps, gen_eps.latent_sample(rng, 16, 2), rng)
+    assert bool(jnp.isfinite(out).all())
+
+    # closed-form kernel required: MSGM must be rejected
+    import pytest
+
+    msgm = MSGMSde.create(rng, x, num_steps_forward=8, dense_tensor=True)
+    with pytest.raises(ValueError, match="closed-form"):
+        PluginReverseSDE.create(msgm, model.apply, variables,
+                                parameterization="eps")
+
+
+def test_eps_parameterization_trains(rng):
+    """An eps-parameterized SGM MLP trains to a sane swissroll fit: the
+    SSM loss decreases and 128-step rk4 samples stay finite with √MMD in
+    the trained band (beyond-reference knob; the reference always learns
+    the direct output, SDEs.py:563-579)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sdeflow_tpu.data import SwissRoll
+    from sdeflow_tpu.eval import compute_mmd
+    from sdeflow_tpu.models import MLP
+    from sdeflow_tpu.sde import SGMSde, PluginReverseSDE
+    from sdeflow_tpu.training import Trainer
+    from sdeflow_tpu.ops.integrators import integrate_sde
+
+    sampler = SwissRoll()
+    model = MLP(input_dim=2)
+    x0 = sampler.sample(rng, 256)
+    variables = model.init(rng, x0, jnp.zeros((256,)))
+    sde = SGMSde.create(num_steps_forward=16)
+    gen = PluginReverseSDE.create(sde, model.apply, variables,
+                                  parameterization="eps")
+    trainer = Trainer(gen, sampler, lr=1e-3, batch_size=256,
+                      print_every=10_000)
+    state, final_loss = trainer.run(jax.random.fold_in(rng, 1), 3000)
+    assert trainer.history[0]["loss"] > final_loss
+
+    n = 4000
+    z = state.gen_sde.latent_sample(jax.random.fold_in(rng, 2), n, 2)
+    xgen = jax.jit(
+        lambda g, k, z: integrate_sde(g, z, k, 128, method="rk4")
+    )(state.gen_sde, jax.random.fold_in(rng, 3), z)
+    xtest = sampler.sampletest(jax.random.fold_in(rng, 4), n)
+    mmd = float(compute_mmd(xgen, xtest)) ** 0.5
+    assert np.isfinite(mmd) and mmd < 0.15, mmd

@@ -40,6 +40,12 @@ def main():
                          "UNet1D on a correlated Gaussian (--dim)")
     ap.add_argument("--dim", type=int, default=64,
                     help="signal dimension for --archi unet1d")
+    ap.add_argument("--parameterization", default="direct",
+                    choices=["direct", "eps"],
+                    help="learned-drift output form for the SGM arm: 'eps' "
+                         "rescales the net output by -g/std so the net "
+                         "learns O(1) noise (sde/reverse.py). MSGM arms "
+                         "always run direct (no closed-form kernel)")
     ap.add_argument("--no-fp32-head", action="store_true",
                     help="compute the output projection in the net's bf16 "
                          "dtype instead of the default fp32 head "
@@ -64,7 +70,7 @@ def main():
     from sdeflow_tpu.training import Trainer
 
     out = {"backend": jax.default_backend(), "iters": args.iters,
-           "archi": args.archi,
+           "archi": args.archi, "parameterization": args.parameterization,
            "fp32_head": not args.no_fp32_head, "rows": []}
     d = 2 if args.archi == "mlp" else args.dim
     for seed in [int(x) for x in args.seeds.split(",")]:
@@ -108,7 +114,9 @@ def main():
                                 fp32_head=not args.no_fp32_head)
                 # same init key -> identical fp32 initial params in both arms
                 variables = model.init(key, x_probe, jnp.zeros((64,)))
-                gen0 = PluginReverseSDE.create(sde, model.apply, variables)
+                param = args.parameterization if not is_msgm else "direct"
+                gen0 = PluginReverseSDE.create(sde, model.apply, variables,
+                                               parameterization=param)
                 trainer = Trainer(gen0, sampler, lr=1e-3,
                                   batch_size=args.batch,
                                   print_every=max(1, args.iters // 2))
