@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--samples", type=int, default=10_000)
     ap.add_argument("--seeds", default="0")
+    ap.add_argument("--arms", default="sgm,msgm",
+                    help="comma list of arms to run (sgm, msgm)")
     ap.add_argument("--archi", default="mlp", choices=["mlp", "unet1d"],
                     help="score net: the d=2 MLP on swissroll (default) or "
                          "UNet1D on a correlated Gaussian (--dim)")
@@ -77,6 +79,8 @@ def main():
         key = jax.random.PRNGKey(seed)
         for is_msgm in (False, True):
             arm = "MSGM" if is_msgm else "SGM"
+            if arm.lower() not in args.arms.lower().split(","):
+                continue
             if args.archi == "unet1d":
                 sampler = Gaussian(jax.random.fold_in(key, 7), dim=d,
                                    correlation=True, normalized=True)
