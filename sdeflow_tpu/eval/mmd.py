@@ -24,19 +24,27 @@ import jax
 import jax.numpy as jnp
 
 
-def _block_kernel_sum(xb, y, dim, valid_mask):
-    """Sum of exp(-‖a−b‖²/d²) over a row block, masking padded rows."""
+def _block_kernel_sum(xb, y, dim, valid_mask, centered):
+    """Sum of exp(-‖a−b‖²/d²) (or expm1, centered=True) over a row block,
+    masking padded rows."""
     x2 = jnp.sum(xb**2, axis=1)[:, None]
     y2 = jnp.sum(y**2, axis=1)[None, :]
     sq = x2 + y2 - 2.0 * (xb @ y.T)
     sq = jnp.maximum(sq, 0.0)
-    k = jnp.exp(-sq / (dim * dim))
+    e = -sq / (dim * dim)
+    k = jnp.expm1(e) if centered else jnp.exp(e)
     return jnp.sum(k * valid_mask[:, None])
 
 
-@partial(jax.jit, static_argnames=("block",))
-def compute_kernel_mean(x, y, block=1024):
-    """Mean of the Gaussian kernel over all (x_i, y_j) pairs, tiled."""
+@partial(jax.jit, static_argnames=("block", "centered"))
+def compute_kernel_mean(x, y, block=1024, centered=False):
+    """Mean of the Gaussian kernel over all (x_i, y_j) pairs, tiled.
+
+    centered=True returns the mean of k−1 (expm1 of the exponent): at
+    large d the reference's /d² bandwidth makes every kernel entry ≈ 1,
+    so sums of k lose all their information to the leading 1 — the
+    centered mean keeps it (the 1s cancel exactly in the MMD combination
+    below)."""
     n, dim = x.shape
     num_blocks = -(-n // block)
     pad = num_blocks * block - n
@@ -47,7 +55,9 @@ def compute_kernel_mean(x, y, block=1024):
 
     def body(acc, inp):
         xb, vb = inp
-        return acc + _block_kernel_sum(xb, y, jnp.asarray(dim, x.dtype), vb), None
+        return acc + _block_kernel_sum(
+            xb, y, jnp.asarray(dim, x.dtype), vb, centered
+        ), None
 
     total, _ = jax.lax.scan(body, jnp.zeros((), x.dtype), (xp, valid))
     return total / (n * y.shape[0])
@@ -56,10 +66,19 @@ def compute_kernel_mean(x, y, block=1024):
 def compute_mmd(x, y, block=1024):
     """MMD² estimate k̄xx + k̄yy − 2k̄xy (reference:
     quantitative_comparison.py:38-46; biased V-statistic, like the
-    reference). Report √MMD for parity with the driver."""
-    kxx = compute_kernel_mean(x, x, block=block)
-    kyy = compute_kernel_mean(y, y, block=block)
-    kxy = compute_kernel_mean(x, y, block=block)
+    reference). Report √MMD for parity with the driver.
+
+    Computed from CENTERED kernel means (k−1 via expm1): mathematically
+    identical — the three 1s cancel — but float32-stable. The naive
+    combination subtracts three numbers that all approach 1 at large d
+    (k = exp(−‖x−y‖²/d²) ≈ exp(−2/d) pairwise), a catastrophic
+    cancellation that quantizes the result to ulp(1) ≈ 6e-8: measured on
+    the d=64 bf16 ablation, two different trained models produced
+    bitwise-identical mmd² = 4.0174e-5. The centered form resolves ~30×
+    finer there and degrades gracefully as d grows."""
+    kxx = compute_kernel_mean(x, x, block=block, centered=True)
+    kyy = compute_kernel_mean(y, y, block=block, centered=True)
+    kxy = compute_kernel_mean(x, y, block=block, centered=True)
     return kxx + kyy - 2.0 * kxy
 
 

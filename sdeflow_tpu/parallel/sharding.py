@@ -226,11 +226,12 @@ def shard_unet1d_params(variables, mesh: Mesh):
     return shard_params(variables, mesh, UNET1D_TP_RULES, min_sharded=4)
 
 
-def sharded_kernel_mean(x, y, mesh: Mesh):
+def sharded_kernel_mean(x, y, mesh: Mesh, centered=False):
     """Mean Gaussian kernel over all pairs, rows of x sharded over "data".
 
     Each device computes its (N/D, M) kernel tile from the matmul expansion
-    and contributes a psum-reduced partial sum over ICI.
+    and contributes a psum-reduced partial sum over ICI. centered=True
+    returns the mean of k−1 (expm1) — see eval.mmd.compute_kernel_mean.
     """
     n, dim = x.shape
     n_dev = mesh.shape["data"]
@@ -248,7 +249,8 @@ def sharded_kernel_mean(x, y, mesh: Mesh):
         x2 = jnp.sum(xb**2, axis=1)[:, None]
         y2 = jnp.sum(yb**2, axis=1)[None, :]
         sq = jnp.maximum(x2 + y2 - 2.0 * (xb @ yb.T), 0.0)
-        k = jnp.exp(-sq / (dim * dim))
+        e = -sq / (dim * dim)
+        k = jnp.expm1(e) if centered else jnp.exp(e)
         local = jnp.sum(k * vb[:, None])
         return jax.lax.psum(local, "data")
 
@@ -257,10 +259,12 @@ def sharded_kernel_mean(x, y, mesh: Mesh):
 
 def sharded_mmd(x, y, mesh: Mesh):
     """MMD² with all three kernel means computed in mesh-sharded tiles
-    (kernel parity with eval.mmd / reference quantitative_comparison.py)."""
-    kxx = sharded_kernel_mean(x, x, mesh)
-    kyy = sharded_kernel_mean(y, y, mesh)
-    kxy = sharded_kernel_mean(x, y, mesh)
+    (kernel parity with eval.mmd / reference quantitative_comparison.py;
+    centered expm1 accumulation — see eval.mmd.compute_mmd's float32-
+    cancellation note)."""
+    kxx = sharded_kernel_mean(x, x, mesh, centered=True)
+    kyy = sharded_kernel_mean(y, y, mesh, centered=True)
+    kxy = sharded_kernel_mean(x, y, mesh, centered=True)
     return kxx + kyy - 2.0 * kxy
 
 

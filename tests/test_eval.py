@@ -114,3 +114,40 @@ def test_survival_tail_exponent(rng):
     g = np.random.RandomState(1).randn(n, 2)
     out2 = survival_analysis(x=jnp.asarray(g, jnp.float32), tail_frac=0.02)
     assert out2["fits"]["generated"]["alpha"] > 2 * alpha
+
+
+def test_mmd_no_catastrophic_cancellation(rng):
+    """At large d the reference's /d² bandwidth makes every kernel entry
+    ≈ 1, so the naive kxx + kyy − 2kxy subtracts three ~1.0 float32
+    numbers and quantizes the MMD to ulp(1) ≈ 6e-8 (measured: two
+    different trained models collided bitwise on the d=64 ablation).
+    compute_mmd accumulates expm1(−s) instead — mathematically identical
+    (the 1s cancel exactly) — and must match a float64 numpy reference
+    far tighter than the uncentered float32 combination."""
+    import numpy as np
+
+    d, n = 64, 512
+    x = np.asarray(jax.random.normal(rng, (n, d)))
+    y = np.asarray(jax.random.normal(jax.random.fold_in(rng, 1), (n, d)))
+    y = 1.02 * y  # slightly-off distribution: small but nonzero MMD
+
+    def mmd64(a, b):
+        def km(u, v):
+            sq = ((u[:, None, :] - v[None, :, :]) ** 2).sum(-1)
+            return np.exp(-sq.astype(np.float64) / (d * d)).mean()
+
+        return km(a, a) + km(b, b) - 2 * km(a, b)
+
+    ref = mmd64(x, y)
+    ours = float(compute_mmd(jnp.asarray(x), jnp.asarray(y)))
+    # uncentered float32 combination (the old implementation)
+    kxx = compute_kernel_mean(jnp.asarray(x), jnp.asarray(x))
+    kyy = compute_kernel_mean(jnp.asarray(y), jnp.asarray(y))
+    kxy = compute_kernel_mean(jnp.asarray(x), jnp.asarray(y))
+    old = float(kxx + kyy - 2.0 * kxy)
+
+    assert abs(ours - ref) < 5e-9, (ours, ref)
+    assert abs(ours - ref) * 4 < abs(old - ref) + 1e-12, (ours, old, ref)
+
+    # identical samples -> exactly zero (the 1s cancel exactly)
+    assert float(compute_mmd(jnp.asarray(x), jnp.asarray(x))) == 0.0
