@@ -57,6 +57,13 @@ def main():
                          "fp32 (the reference is pure-fp32 CUDA); bfloat16 "
                          "is the production mixed-precision measurement "
                          "(fp32 params/optimizer/loss reduction)")
+    ap.add_argument("--parameterization", default="direct",
+                    choices=["direct", "eps"],
+                    help="SGM-arm output parameterization (sde/reverse.py). "
+                         "The parity arms stay direct (the reference learns "
+                         "a directly); 'eps' is the production bf16 pairing "
+                         "— the net learns O(1) noise. MSGM arms always run "
+                         "direct (no closed-form kernel)")
     ap.add_argument("--out", default="parity_image_ours.json")
     args = ap.parse_args()
 
@@ -119,7 +126,9 @@ def main():
         else:
             sde = SGMSde.create(beta_min=0.1, beta_max=20.0, t_epsilon=4e-3,
                                 num_steps_forward=64)
-        gen = PluginReverseSDE.create(sde, model.apply, variables)
+        gen = PluginReverseSDE.create(
+            sde, model.apply, variables,
+            parameterization="direct" if is_msgm else args.parameterization)
         trainer = Trainer(gen, sampler, lr=1e-4, batch_size=args.batch,
                           print_every=max(1, args.iters // 8),
                           steps_per_dispatch=args.steps_per_dispatch,
@@ -171,6 +180,9 @@ def main():
                 **({"ema_rate": args.ema_rate} if args.ema_rate else {}),
                 **({"compute_dtype": args.compute_dtype}
                    if args.compute_dtype != "float32" else {}),
+                **({"parameterization": args.parameterization}
+                   if not is_msgm and args.parameterization != "direct"
+                   else {}),
                 backend=jax.default_backend(),
                 train_s=train_s, ms_per_step=train_s / args.iters * 1000,
                 sample_s=sample_s, samples_per_s=args.samples / sample_s,
