@@ -156,10 +156,15 @@ class SDEBehavior:
         )
 
     def sample_debiasing_t(self, key, shape):
-        """Non-uniform t sampling ∝ g²/std² — not implemented, mirroring the
-        reference exactly (SDEs.py:148-155 raises NotImplementedError and
-        defers to the upstream sdeflow-light repository)."""
-        raise NotImplementedError("See the official repository.")
+        """Non-uniform t sampling ∝ g²/std², truncated at t_epsilon
+        (reference stub: SDEs.py:148-155 raises NotImplementedError).
+        Implemented in closed form for the VP schedule on ``SGMSde``;
+        SDEs without a closed-form kernel (MSGM) keep the reference's
+        behavior here — and ``PluginReverseSDE.create`` rejects
+        ``debias=True`` for them up front."""
+        raise NotImplementedError(
+            "debiased t sampling needs a closed-form kernel (see SGMSde)"
+        )
 
     def sample_song_et_al(self, key, t, y0, return_noise=False):
         """Closed-form forward kernel y_t = mean_weight(t)·y_0 + std·ε.

@@ -87,6 +87,13 @@ class PluginReverseSDE:
                 'parameterization="eps" requires a closed-form forward '
                 "kernel (SGM): the output scale is g(t)/std(t)"
             )
+        if debias and not hasattr(base_sde, "var"):
+            # the g²/std² importance law needs the closed-form variance
+            # (SGMSde.sample_debiasing_t); fail at create(), not trace time
+            raise ValueError(
+                "debias=True requires an SDE with a closed-form forward "
+                "kernel (SGM): the debiasing density is g(t)²/std(t)²"
+            )
         T = base_sde.T if T is None else jnp.asarray(T)
         num_steps = base_sde.num_steps_forward
         grid = np.linspace(

@@ -93,6 +93,41 @@ class SGMSde(SDEBehavior):
     def sample(self, key, t, y0, return_noise=False):
         return self.sample_song_et_al(key, t, y0, return_noise=return_noise)
 
+    # -- debiased time sampling (reference SDEs.py:148-155) ------------------
+    def _B(self, t):
+        """Integrated schedule B(t) = ∫₀ᵗ β(s) ds for the linear β."""
+        return self.beta_min * t + 0.5 * (self.beta_max - self.beta_min) * t**2
+
+    def sample_debiasing_t(self, key, shape):
+        """Importance-sampled t with density q(t) ∝ g(t)²/std(t)², truncated
+        below at t_epsilon — the likelihood-weighting law of Song et al.
+        2021 (eq. 14). The reference declares this sampler but raises
+        NotImplementedError (SDEs.py:148-155); here it is exact and closed
+        form for the VP schedule:
+
+          q(t) ∝ β(t)/var(t) = B'(t)/(1 − e^{−B(t)}),  B(t) = ∫₀ᵗ β
+          CDF antiderivative  F(t) = log(e^{B(t)} − 1) = B(t) + log var(t)
+
+        so inverse-CDF sampling is  L = F(t_ε) + u·(F(T) − F(t_ε)),
+        B = softplus(L), and t solves the quadratic B(t) = B — all
+        elementwise closed form (no grids, no rejection), jit-safe.
+        """
+        u = jax.random.uniform(key, shape)
+        # F(t) = B(t) + log var(t); var = 1 − e^{−B} so this is
+        # log(expm1(B)), computed stably for both small and large B.
+        F_lo = self._B(self.t_epsilon) + jnp.log(self.var(self.t_epsilon))
+        F_hi = self._B(self.T) + jnp.log(self.var(self.T))
+        L = F_lo + u * (F_hi - F_lo)
+        B = jax.nn.softplus(L)  # B = log(1 + e^L) inverts F exactly
+        # solve beta_min·t + ½(beta_max−beta_min)·t² = B for t ≥ 0
+        a = 0.5 * (self.beta_max - self.beta_min)
+        b = self.beta_min
+        disc = jnp.sqrt(jnp.maximum(b**2 + 4.0 * a * B, 0.0))
+        # guard a≈0 (constant β): t = B/b; jnp.where keeps it branch-free
+        t_quad = (disc - b) / jnp.where(a == 0.0, 1.0, 2.0 * a)
+        t = jnp.where(a == 0.0, B / b, t_quad)
+        return jnp.clip(t, self.t_epsilon, self.T)
+
     # -- latent prior (reference SDEs.py:201-215) ---------------------------
     def latent_sample(self, key, num_samples, n):
         return jax.random.normal(key, (num_samples, n), dtype=jnp.float32)
