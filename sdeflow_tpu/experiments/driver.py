@@ -331,6 +331,9 @@ class ExperimentDriver:
         mmd_sgm = np.zeros(shape)
         mmd_msgm = np.zeros(shape)
         mmd_ref = np.zeros(shape)
+        swd_sgm = np.zeros(shape)
+        swd_msgm = np.zeros(shape)
+        swd_ref = np.zeros(shape)
 
         folder_results = cfg.results_dir
         os.makedirs(folder_results, exist_ok=True)
@@ -401,13 +404,16 @@ class ExperimentDriver:
                                 batch_size_ref=batch_size_ref,
                                 complexity=complexity,
                                 indices=(i_dim, i_cx, i_iter),
-                                mmd_arrays=(mmd_sgm, mmd_msgm, mmd_ref),
+                                mmd_arrays=(mmd_sgm, mmd_msgm, mmd_ref,
+                                            swd_sgm, swd_msgm, swd_ref),
                                 dimplot=dimplot, columns_plot=columns_plot,
                                 just_load=just_load,
                             )
 
         self.results = dict(mmd_sgm=mmd_sgm, mmd_msgm=mmd_msgm,
-                            mmd_ref=mmd_ref, dims=dims,
+                            mmd_ref=mmd_ref,
+                            swd_sgm=swd_sgm, swd_msgm=swd_msgm,
+                            swd_ref=swd_ref, dims=dims,
                             complexitys=complexitys,
                             nll_bits_per_dim=self.nll_results)
         if sw.eval_mmd:
@@ -423,7 +429,7 @@ class ExperimentDriver:
         cfg = self.cfg
         tc, sw, dc, pc = cfg.train, cfg.sweep, cfg.data, cfg.plots
         i_dim, i_cx, i_iter = indices
-        mmd_sgm, mmd_msgm, mmd_ref = mmd_arrays
+        mmd_sgm, mmd_msgm, mmd_ref, swd_sgm, swd_msgm, swd_ref = mmd_arrays
         folder_results = cfg.results_dir
 
         batch_size, iterations = self._fair_budgets(
@@ -612,10 +618,13 @@ class ExperimentDriver:
                     if sw.eval_mmd and out["mmd"] is not None:
                         idx = (i_dim, i_cx, i_steps, i_iter, i_run)
                         mmd_ref[idx] = out["mmd_ref"]
+                        swd_ref[idx] = out["swd_ref"]
                         if is_msgm:
                             mmd_msgm[idx] = out["mmd"]
+                            swd_msgm[idx] = out["swd"]
                         else:
                             mmd_sgm[idx] = out["mmd"]
+                            swd_sgm[idx] = out["swd"]
 
     def _eval_nll(self, gen, xtest, key, name_root):
         """Exact NLL (bits/dim) of a trained arm via the PF-ODE likelihood
@@ -643,11 +652,13 @@ class ExperimentDriver:
         with open(path, "w") as f:
             json.dump(self.nll_results, f, indent=1)
 
-    def _mmd_path(self, folder, arm):
-        """Single source of truth for the MMD result-tensor filenames
-        (reference: MSGM_higherDim.py:924-936)."""
+    def _mmd_path(self, folder, arm, metric="MMD"):
+        """Single source of truth for the metric result-tensor filenames
+        (reference: MSGM_higherDim.py:924-936; metric="SWD" stores the
+        sliced-Wasserstein tensors the reference does not compute)."""
         return os.path.join(
-            folder, f"globalMMDfile_{arm}_{self.cfg.sweep.nruns_mmd}runs.npy"
+            folder,
+            f"global{metric}file_{arm}_{self.cfg.sweep.nruns_mmd}runs.npy",
         )
 
     def _complexitys(self):
@@ -668,16 +679,25 @@ class ExperimentDriver:
             dims=list(self.cfg.data.dims),
             complexitys=self._complexitys(),
         )
+        for arm, res_key in (("SGM", "swd_sgm"), ("MSGM", "swd_msgm"),
+                             ("ref", "swd_ref")):
+            swd_path = self._mmd_path(folder, arm, metric="SWD")
+            if os.path.exists(swd_path):  # absent in pre-SWD result dirs
+                self.results[res_key] = np.load(swd_path)
         if self.make_plots:
             self._convergence_plots(folder)
         return self.results
 
     # -- results persistence + convergence plots -------------------------------
     def _save_mmd_arrays(self, folder):
-        """(reference: MSGM_higherDim.py:931-936)"""
+        """(reference: MSGM_higherDim.py:931-936; + SWD tensors alongside)"""
         np.save(self._mmd_path(folder, "SGM"), self.results["mmd_sgm"])
         np.save(self._mmd_path(folder, "MSGM"), self.results["mmd_msgm"])
         np.save(self._mmd_path(folder, "ref"), self.results["mmd_ref"])
+        np.save(self._mmd_path(folder, "SGM", "SWD"), self.results["swd_sgm"])
+        np.save(self._mmd_path(folder, "MSGM", "SWD"),
+                self.results["swd_msgm"])
+        np.save(self._mmd_path(folder, "ref", "SWD"), self.results["swd_ref"])
 
     def _convergence_plots(self, folder):
         """√MMD convergence plots vs backward steps / iterations / dimension /

@@ -511,13 +511,16 @@ def postprocessing(inds, xs, xtest, std_norm, std_test_plot, datatype,
     plot_signal(xs, inds, name_simu + "_Gen", std_norm=std_norm,
                 std_test_plot=std_test_plot, time_to_duplicate=-1)
 
-    result = dict(nan_count=nan_count, survival=surv, mmd=None, mmd_ref=None)
+    result = dict(nan_count=nan_count, survival=surv, mmd=None, mmd_ref=None,
+                  swd=None, swd_ref=None)
     if mmd_inputs is not None:
+        import jax
         import jax.numpy as jnp
-        from sdeflow_tpu.eval import compute_mmd
+        from sdeflow_tpu.eval import compute_mmd, sliced_wasserstein
 
         x_train, max_n = mmd_inputs
         n = min(_np(xtest).shape[0], max_n)
+        n = min(n, xgen.shape[0] + 1, _np(x_train).shape[0] + 1)
         xt = jnp.asarray(_np(xtest)[: n - 1])
         xg = jnp.asarray(xgen[: n - 1])
         xtr = jnp.asarray(_np(x_train)[: n - 1])
@@ -528,4 +531,15 @@ def postprocessing(inds, xs, xtest, std_norm, std_test_plot, datatype,
         log_fn(f"MMD gen. to test = {dist ** 0.5}")
         result["mmd"] = dist
         result["mmd_ref"] = dist_ref
+        # sliced Wasserstein alongside (BASELINE.md: "the rebuild will
+        # report both"; reference computes MMD only,
+        # quantitative_comparison.py:38-46). Fixed projection key so every
+        # arm of a sweep is measured against the same direction set.
+        swd_key = jax.random.PRNGKey(0)
+        result["swd_ref"] = float(
+            sliced_wasserstein(swd_key, sn * xtr, sn * xt)
+        )
+        result["swd"] = float(sliced_wasserstein(swd_key, sn * xg, sn * xt))
+        log_fn(f"SWD train to test = {result['swd_ref']}")
+        log_fn(f"SWD gen. to test = {result['swd']}")
     return result

@@ -63,18 +63,46 @@ def wait_for_checkpoints() -> None:
         _ASYNC_CKPTR.wait_until_finished()
 
 
-def load_checkpoint(path, state_template, key_template) -> Tuple:
+def load_checkpoint(path, state_template, key_template, shardings=None) -> Tuple:
     """Restore to the template's structure; returns (state, key, iteration)
-    (reference: NN.py:24-42)."""
+    (reference: NN.py:24-42).
+
+    shardings: optional pytree of `jax.sharding.Sharding` matching
+    state_template. When given, the state is restored through orbax's
+    sharding-aware path — each leaf materializes DIRECTLY on its mesh
+    placement (one per-device slice read per shard), never staging the
+    full parameter tree on the host or a single device. This is the scale
+    path: params larger than one chip's HBM restore fine. The PRNG key is
+    restored replicated over the same devices.
+    """
     wait_for_checkpoints()
-    restored = _async_checkpointer().restore(
-        _abs(path),
-        dict(
-            state=state_template,
-            key=jax.random.key_data(key_template),
+    key_data = jax.random.key_data(key_template)
+    if shardings is None:
+        restored = _async_checkpointer().restore(
+            _abs(path),
+            dict(state=state_template, key=key_data, iteration=0),
+        )
+    else:
+        def _abstract(leaf, sharding):
+            a = jnp.asarray(leaf)
+            return jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=sharding)
+
+        # every sharding leaf spans the same device set; replicate the key
+        # over it so the restored state and key live on the same mesh
+        any_sharding = jax.tree_util.tree_leaves(
+            shardings, is_leaf=lambda x: isinstance(x, jax.sharding.Sharding)
+        )[0]
+        key_sharding = jax.sharding.NamedSharding(
+            any_sharding.mesh, jax.sharding.PartitionSpec()
+        )
+        abstract = dict(
+            state=jax.tree_util.tree_map(_abstract, state_template, shardings),
+            key=jax.ShapeDtypeStruct(
+                key_data.shape, key_data.dtype, sharding=key_sharding
+            ),
             iteration=0,
-        ),
-    )
+        )
+        restored = _async_checkpointer().restore(_abs(path), abstract)
     key = jax.random.wrap_key_data(restored["key"])
     return _restore_invariants(restored["state"]), key, int(restored["iteration"])
 

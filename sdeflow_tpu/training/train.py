@@ -303,9 +303,10 @@ class Trainer:
 
         start_iter = 0
         if resume and self.checkpoint_path and checkpoint_exists(self.checkpoint_path):
-            # capture the live mesh placements first: restored arrays come
-            # back committed to a single device, which would both drop the
-            # TP shardings and conflict with mesh-placed leaves inside jit.
+            # capture the live mesh placements first and restore THROUGH
+            # them (orbax sharding-aware restore): each leaf materializes
+            # directly on its mesh placement — TP shardings preserved, no
+            # full-param staging on the host or a single device.
             # Mesh-sharded leaves get their placement back; everything else
             # is replicated over the mesh.
             placements = None
@@ -322,13 +323,8 @@ class Trainer:
                     self.state,
                 )
             self.state, key, start_iter = load_checkpoint(
-                self.checkpoint_path, self.state, key
+                self.checkpoint_path, self.state, key, shardings=placements
             )
-            if placements is not None:
-                self.state = jax.tree_util.tree_map(
-                    jax.device_put, self.state, placements
-                )
-                key = jax.device_put(key, replicated)
             self.log_fn(f"Resuming from iteration {start_iter + 1}")
             start_iter += 1
 

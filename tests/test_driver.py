@@ -69,9 +69,17 @@ def test_driver_dbg_sweep(rng, tmp_path, monkeypatch):
     assert results["mmd_sgm"][0, 0, 0, 0, 0] > 0
     assert results["mmd_msgm"][0, 0, 0, 0, 0] > 0
     assert results["mmd_ref"][0, 0, 0, 0, 0] > 0
+    # sliced Wasserstein recorded alongside (BASELINE.md: "both metrics")
+    assert results["swd_sgm"][0, 0, 0, 0, 0] > 0
+    assert results["swd_msgm"][0, 0, 0, 0, 0] > 0
+    assert results["swd_ref"][0, 0, 0, 0, 0] > 0
     # final checkpoints + sample trajectories persisted
     files = os.listdir(tmp_path / "results")
     assert any("globalMMDfile_SGM" in f for f in files)
+    assert any("globalSWDfile_SGM" in f for f in files)
+    # justLoadmmd mode reloads the SWD tensors too
+    reloaded = driver.load_mmd_and_plot()
+    assert np.allclose(reloaded["swd_msgm"], results["swd_msgm"])
     swiss_files = os.listdir(tmp_path / "results" / "swiss")
     assert any(f.endswith("_traj.npy") for f in swiss_files)
     assert any("MSGM" in f for f in swiss_files)

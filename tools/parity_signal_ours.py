@@ -124,6 +124,15 @@ def main():
         else:
             sde = SGMSde.create(beta_min=beta_min, beta_max=beta_max,
                                 t_epsilon=t_eps, num_steps_forward=steps_fwd)
+        if is_msgm and args.parameterization != "direct":
+            print("MSGM arm: parameterization forced to direct "
+                  "(no closed-form kernel)", file=sys.stderr)
+        if (not is_msgm and args.compute_dtype == "bfloat16"
+                and args.parameterization == "direct"):
+            print("hint: SGM + bfloat16 + direct parameterization measured "
+                  "~4x worse (BF16_ABLATION_UNET1D.json); production bf16 "
+                  "runs should pair --compute-dtype bfloat16 with "
+                  "--parameterization eps", file=sys.stderr)
         gen = PluginReverseSDE.create(
             sde, model.apply, variables,
             parameterization="direct" if is_msgm else args.parameterization)
