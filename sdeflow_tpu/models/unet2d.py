@@ -12,8 +12,9 @@ differences from the torch original:
 - `learn_potential` (score = ∇ₓ of a scalar potential, reference
   model/unet.py:492-511) is a plain `jax.grad` of the potential path via
   `potential_score` — no manual autograd bookkeeping or grad zeroing.
-- supports dims ∈ {1, 2} (the reference's conv_nd also offers 3D; nothing in
-  the reference exercises it).
+- supports dims ∈ {1, 2, 3}, covering the reference's full conv_nd surface
+  (model/nn_utils.py:49-97); every spatial op (_kernel, Upsample's repeat +
+  odd crop, Downsample, the attention flatten) is rank-generic.
 
 Parity map (reference file:line):
   UNetModel        model/unet.py:276-552

@@ -207,3 +207,31 @@ def test_unet2d_bfloat16_compute(rng):
     outbf = mbf.apply(variables, x, t)
     assert outbf.dtype == jnp.float32  # output cast back
     assert float(jnp.abs(out32 - outbf).max()) < 0.1
+
+
+def test_unet_dims3(rng):
+    """conv_nd's dims=3 surface (reference model/nn_utils.py:49-97): the
+    U-Net compiles and runs on volumetric (B, D, H, W, C) inputs, including
+    attention over the flattened voxel axis and the odd-size Upsample crop
+    on all three axes."""
+    import jax.numpy as jnp
+
+    from sdeflow_tpu.models.unet2d import UNetModel
+
+    m = UNetModel(in_channels=1, model_channels=8, out_channels=1,
+                  in_space=8, num_res_blocks=1, attention_resolutions=(2,),
+                  channel_mult=(1, 2), dims=3)
+    x = jax.random.normal(rng, (2, 8, 8, 8, 1))
+    t = jnp.array([0.1, 0.5])
+    v = m.init(rng, x, t)
+    y = m.apply(v, x, t)
+    assert y.shape == (2, 8, 8, 8, 1)
+    assert jnp.isfinite(y).all()
+
+    # odd cube: exercises Upsample(odd_size=True)'s crop on every axis
+    m7 = UNetModel(in_channels=1, model_channels=8, out_channels=1,
+                   in_space=7, num_res_blocks=1, attention_resolutions=(),
+                   channel_mult=(1, 2), dims=3)
+    x7 = jax.random.normal(rng, (2, 7, 7, 7, 1))
+    y7 = m7.apply(m7.init(rng, x7, t), x7, t)
+    assert y7.shape == (2, 7, 7, 7, 1)
