@@ -50,7 +50,8 @@ def _attn_block_math(x, gn_scale, gn_bias, wqkv, bqkv, wproj, bproj, groups):
 
 
 def _attn_block_kernel(x_ref, gn_scale_ref, gn_bias_ref, gmap_ref, wqkv_ref,
-                       bqkv_ref, wproj_ref, bproj_ref, o_ref, *, groups):
+                       bqkv_ref, wproj_ref, bproj_ref, o_ref, *, groups,
+                       pack):
     x = x_ref[:].astype(jnp.float32)  # (Bb, T, C)
     bb, t, c = x.shape
 
@@ -78,20 +79,37 @@ def _attn_block_kernel(x_ref, gn_scale_ref, gn_bias_ref, gmap_ref, wqkv_ref,
     ) + bqkv_ref[:].astype(jnp.float32)
     qkv = qkv.astype(h.dtype)
 
-    # --- single-head attention core (batched over Bb, scores in fp32)
+    # --- single-head attention core (batched over Bb, scores in fp32).
+    # At the U-Net's shapes (T=64 or 16) the per-sample score/out matmuls
+    # are far below the 128x128 MXU tile, so `pack` samples are merged
+    # into one block-diagonal attention of length pack*T: the matmuls run
+    # MXU-aligned and the batch loop shrinks by `pack`; an additive -inf
+    # mask restores exact per-sample softmax (masked terms exp to 0).
     scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(c, jnp.float32)))
     q = qkv[:, :, :c] * scale
     k = qkv[:, :, c : 2 * c] * scale
     v = qkv[:, :, 2 * c :]
+    if pack > 1:
+        pt = pack * t
+        q = q.reshape(bb // pack, pt, c)
+        k = k.reshape(bb // pack, pt, c)
+        v = v.reshape(bb // pack, pt, c)
+        row = jax.lax.broadcasted_iota(jnp.int32, (pt, pt), 0) // t
+        col = jax.lax.broadcasted_iota(jnp.int32, (pt, pt), 1) // t
+        mask = jnp.where(row == col, 0.0, -jnp.inf).astype(jnp.float32)
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # (Bb, T, T)
+    )  # (Bb/pack, pack*T, pack*T)
+    if pack > 1:
+        s = s + mask
     p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
     out = jax.lax.dot_general(
         p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # (Bb, T, C) fp32
+    )
+    if pack > 1:
+        out = out.reshape(bb, t, c)  # (Bb, T, C) fp32
 
     # --- output projection + residual
     out = jax.lax.dot_general(
@@ -107,14 +125,22 @@ def _attn_block_pallas(x, gn_scale, gn_bias, wqkv, bqkv, wproj, bproj,
     b, t, c = x.shape
     pad = lambda nn: ((nn + 127) // 128) * 128  # noqa: E731
     itemsize = jnp.dtype(x.dtype).itemsize
+    # pack enough samples that the score matmul's M/N dims reach the
+    # 128-wide MXU tile (power of two so it divides the batch tile)
+    pack = max(1, 128 // t)
     # live per batch elem: x fp32, h, qkv, fp32 scores (~2), out fp32
     bytes_per_elem = t * (
         pad(c) * 4 * 2 + pad(c) * itemsize + pad(3 * c) * itemsize
-        + 2 * pad(t) * 4 + pad(c) * 4
+        + 2 * pad(pack * t) * 4 + pad(c) * 4
     )
+    # 10 MB estimate keeps the kernel under Mosaic's 16 MB scoped-vmem
+    # stack limit (32 MB measured-OOM at the b2048 fp32 shape)
     fit = max(1, (10 << 20) // bytes_per_elem)
     fit = 1 << (fit.bit_length() - 1)
     blk = min(fit, b)
+    # pack must divide the batch tile (both are powers of two unless the
+    # whole batch is one odd tile — then shrink to its 2-adic part)
+    pack = min(pack, blk & -blk)
     gmap = (
         jnp.repeat(jnp.eye(groups, dtype=jnp.float32), c // groups, axis=0)
         if groups > 1
@@ -123,7 +149,7 @@ def _attn_block_pallas(x, gn_scale, gn_bias, wqkv, bqkv, wproj, bproj,
     row = lambda nn: pl.BlockSpec((1, nn), lambda i: (0, 0),  # noqa: E731
                                   memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        partial(_attn_block_kernel, groups=groups),
+        partial(_attn_block_kernel, groups=groups, pack=pack),
         grid=(pl.cdiv(b, blk),),
         in_specs=[
             pl.BlockSpec((blk, t, c), lambda i: (i, 0, 0),
