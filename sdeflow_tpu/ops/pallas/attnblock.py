@@ -52,8 +52,14 @@ def _attn_block_math(x, gn_scale, gn_bias, wqkv, bqkv, wproj, bproj, groups):
 def _attn_block_kernel(x_ref, gn_scale_ref, gn_bias_ref, gmap_ref, wqkv_ref,
                        bqkv_ref, wproj_ref, bproj_ref, o_ref, *, groups,
                        pack):
-    x = x_ref[:].astype(jnp.float32)  # (Bb, T, C)
+    x = x_ref[:]  # (Bb, T, C) compute dtype
     bb, t, c = x.shape
+    # sub-fp32 compute dtypes keep activations native end to end (fp32 is
+    # reserved for GN statistics and softmax scores), mirroring _gn_math's
+    # measured-winning bf16 dispatch: the folded one-multiply-add affine
+    # and the residual run in x.dtype, halving the live VMEM set so the
+    # batch tile (and with it DMA/compute overlap) doubles
+    native = jnp.dtype(x.dtype).itemsize < 4
 
     # --- GroupNorm (fp32 stats, the one-hot group matmul from groupnorm.py)
     gmap = gmap_ref[:]  # (C, G) one-hot membership
@@ -64,13 +70,21 @@ def _attn_block_kernel(x_ref, gn_scale_ref, gn_bias_ref, gmap_ref, wqkv_ref,
         return jnp.dot(vals, m, preferred_element_type=jnp.float32,
                        precision=hp)
 
-    ch_sum = jnp.sum(x, axis=1)                      # (Bb, C)
+    xf = x.astype(jnp.float32)
+    ch_sum = jnp.sum(xf, axis=1)                     # (Bb, C)
     mean_c = bcast(bcast(ch_sum, gmap) / n, gmap.T)  # (Bb, C)
-    xc = x - mean_c[:, None, :]
+    xc = xf - mean_c[:, None, :]
     g_var = bcast(jnp.sum(xc * xc, axis=1), gmap) / n
     rstd_c = bcast(jax.lax.rsqrt(g_var + EPS), gmap.T)
-    h = xc * (rstd_c * gn_scale_ref[:])[:, None, :] + gn_bias_ref[:]
-    h = h.astype(o_ref.dtype)
+    gn_w = rstd_c * gn_scale_ref[:]
+    if native:
+        # expand the unit dim in fp32 and cast AFTER: Mosaic rejects the
+        # (Bb, C) -> (Bb, 1, C) shape cast on sub-fp32 vectors
+        gn_shift = gn_bias_ref[:] - mean_c * gn_w
+        h = (x * gn_w[:, None, :].astype(x.dtype)
+             + gn_shift[:, None, :].astype(x.dtype))
+    else:
+        h = (xc * gn_w[:, None, :] + gn_bias_ref[:]).astype(o_ref.dtype)
 
     # --- qkv projection: (Bb, T, C) @ (C, 3C) on the MXU (M = Bb*T rows)
     qkv = jax.lax.dot_general(
@@ -111,13 +125,18 @@ def _attn_block_kernel(x_ref, gn_scale_ref, gn_bias_ref, gmap_ref, wqkv_ref,
     if pack > 1:
         out = out.reshape(bb, t, c)  # (Bb, T, C) fp32
 
-    # --- output projection + residual
+    # --- output projection + residual (fp32 accumulation in the matmul;
+    # the add itself runs in compute dtype on the native path, matching
+    # the _attn_block_math composition at sub-fp32 dtypes)
     out = jax.lax.dot_general(
         out.astype(v.dtype), wproj_ref[:],
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bproj_ref[:].astype(jnp.float32)
-    o_ref[:] = (x + out).astype(o_ref.dtype)
+    if native:
+        o_ref[:] = x + out.astype(x.dtype)
+    else:
+        o_ref[:] = (xf + out).astype(o_ref.dtype)
 
 
 def _attn_block_pallas(x, gn_scale, gn_bias, wqkv, bqkv, wproj, bproj,
@@ -127,15 +146,20 @@ def _attn_block_pallas(x, gn_scale, gn_bias, wqkv, bqkv, wproj, bproj,
     itemsize = jnp.dtype(x.dtype).itemsize
     # pack enough samples that the score matmul's M/N dims reach the
     # 128-wide MXU tile (power of two so it divides the batch tile)
-    pack = max(1, 128 // t)
-    # live per batch elem: x fp32, h, qkv, fp32 scores (~2), out fp32
+    import os as _os
+    _pk = _os.environ.get("SDEFLOW_ATTN_PACK", "")
+    pack = int(_pk) if _pk else max(1, 128 // t)
+    # live per batch elem: x in compute dtype + fp32 centered copy (both
+    # fp32 when compute IS fp32), h, qkv, fp32 scores + compute-dtype
+    # softmax, fp32 attention output
     bytes_per_elem = t * (
-        pad(c) * 4 * 2 + pad(c) * itemsize + pad(3 * c) * itemsize
-        + 2 * pad(pack * t) * 4 + pad(c) * 4
+        pad(c) * (itemsize + 4) + pad(c) * itemsize + pad(3 * c) * itemsize
+        + pad(pack * t) * (4 + itemsize) + pad(c) * 4
     )
-    # 10 MB estimate keeps the kernel under Mosaic's 16 MB scoped-vmem
-    # stack limit (32 MB measured-OOM at the b2048 fp32 shape)
-    fit = max(1, (10 << 20) // bytes_per_elem)
+    # 14 MB estimate keeps the kernel under Mosaic's 16 MB scoped-vmem
+    # stack limit (32 MB measured-OOM at the b2048 fp32 shape); the
+    # estimate intentionally double-counts transients as slack
+    fit = max(1, (14 << 20) // bytes_per_elem)
     fit = 1 << (fit.bit_length() - 1)
     blk = min(fit, b)
     # pack must divide the batch tile (both are powers of two unless the
