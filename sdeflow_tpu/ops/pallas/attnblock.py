@@ -97,9 +97,14 @@ def _attn_block_kernel(x_ref, gn_scale_ref, gn_bias_ref, gmap_ref, wqkv_ref,
     # At the U-Net's shapes (T=64 or 16) the per-sample score/out matmuls
     # are far below the 128x128 MXU tile, so `pack` samples are merged
     # into one block-diagonal attention of length pack*T: the matmuls run
-    # MXU-aligned and the batch loop shrinks by `pack`; an additive -inf
-    # mask restores exact per-sample softmax (masked terms exp to 0).
-    scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(c, jnp.float32)))
+    # MXU-aligned and the batch loop shrinks by `pack`; a SELECT mask (not
+    # an additive -inf) restores exact per-sample softmax — on a grid-edge
+    # tile Pallas pads the block with undefined VMEM contents, and a select
+    # discards a padded neighbour's garbage scores even when they decode to
+    # NaN/Inf (garbage + -inf would be NaN and poison the softmax row of a
+    # REAL sample sharing the pack group).
+    scale = (1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(c, jnp.float32)))
+             ).astype(qkv.dtype)  # keep the score matmul operands in x.dtype
     q = qkv[:, :, :c] * scale
     k = qkv[:, :, c : 2 * c] * scale
     v = qkv[:, :, 2 * c :]
@@ -110,13 +115,13 @@ def _attn_block_kernel(x_ref, gn_scale_ref, gn_bias_ref, gmap_ref, wqkv_ref,
         v = v.reshape(bb // pack, pt, c)
         row = jax.lax.broadcasted_iota(jnp.int32, (pt, pt), 0) // t
         col = jax.lax.broadcasted_iota(jnp.int32, (pt, pt), 1) // t
-        mask = jnp.where(row == col, 0.0, -jnp.inf).astype(jnp.float32)
+        same = row == col
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # (Bb/pack, pack*T, pack*T)
     if pack > 1:
-        s = s + mask
+        s = jnp.where(same[None], s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
     out = jax.lax.dot_general(
         p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -149,6 +154,10 @@ def _attn_block_pallas(x, gn_scale, gn_bias, wqkv, bqkv, wproj, bproj,
     import os as _os
     _pk = _os.environ.get("SDEFLOW_ATTN_PACK", "")
     pack = int(_pk) if _pk else max(1, 128 // t)
+    # the kernel reshapes by `pack`, so it must be a power of two (anything
+    # else survives the 2-adic clamp below and fails at trace time with an
+    # opaque size mismatch) — round an env override down
+    pack = 1 << (max(1, pack).bit_length() - 1)
     # live per batch elem: x in compute dtype + fp32 centered copy (both
     # fp32 when compute IS fp32), h, qkv, fp32 scores + compute-dtype
     # softmax, fp32 attention output

@@ -326,25 +326,55 @@ def test_fused_attention_block_param_and_output_parity(rng):
 
 def test_fused_attention_block_kernel_matches_math(rng):
     """The one-program Pallas block (interpret mode) reproduces the jnp
-    composition at both U-Net attention shapes."""
+    composition at both U-Net attention shapes, in fp32 AND on the `native`
+    sub-fp32 branch (folded GN affine, compute-dtype residual)."""
     from sdeflow_tpu.ops.pallas.attnblock import (
         _attn_block_math, _attn_block_pallas,
     )
 
-    for t, c in ((64, 64), (16, 128)):
-        x = jax.random.normal(rng, (4, t, c))
-        k1, k2 = jax.random.split(jax.random.fold_in(rng, t))
-        gn_s = 1.0 + 0.1 * jax.random.normal(k1, (c,))
-        gn_b = 0.1 * jax.random.normal(k2, (c,))
-        wqkv = jax.random.normal(k1, (c, 3 * c)) / np.sqrt(c)
-        bqkv = 0.01 * jax.random.normal(k2, (3 * c,))
-        wproj = jax.random.normal(k2, (c, c)) / np.sqrt(c)
-        bproj = 0.01 * jax.random.normal(k1, (c,))
-        groups = 32
-        ref = _attn_block_math(x, gn_s, gn_b, wqkv, bqkv, wproj, bproj,
-                               groups)
+    for dtype, atol in ((jnp.float32, 5e-5), (jnp.bfloat16, 2e-2)):
+        for t, c in ((64, 64), (16, 128)):
+            x = jax.random.normal(rng, (4, t, c)).astype(dtype)
+            k1, k2 = jax.random.split(jax.random.fold_in(rng, t))
+            gn_s = 1.0 + 0.1 * jax.random.normal(k1, (c,))
+            gn_b = 0.1 * jax.random.normal(k2, (c,))
+            wqkv = jax.random.normal(k1, (c, 3 * c)) / np.sqrt(c)
+            bqkv = 0.01 * jax.random.normal(k2, (3 * c,))
+            wproj = jax.random.normal(k2, (c, c)) / np.sqrt(c)
+            bproj = 0.01 * jax.random.normal(k1, (c,))
+            groups = 32
+            ref = _attn_block_math(x, gn_s, gn_b, wqkv, bqkv, wproj, bproj,
+                                   groups)
+            with force_interpret():
+                out = _attn_block_pallas(x, gn_s, gn_b, wqkv, bqkv, wproj,
+                                         bproj, groups)
+            assert out.dtype == dtype
+            np.testing.assert_allclose(
+                np.asarray(out, np.float32), np.asarray(ref, np.float32),
+                atol=atol, err_msg=f"{dtype} t={t} c={c}")
+
+
+def test_attn_pack_env_override_rounds_to_power_of_two(rng, monkeypatch):
+    """A non-power-of-two SDEFLOW_ATTN_PACK (e.g. 3) must not blow up the
+    kernel's reshape at trace time — it is rounded down to a power of two."""
+    from sdeflow_tpu.ops.pallas.attnblock import (
+        _attn_block_math, _attn_block_pallas,
+    )
+
+    t, c, groups = 16, 32, 32
+    x = jax.random.normal(rng, (8, t, c))
+    k1, k2 = jax.random.split(rng)
+    gn_s = jnp.ones((c,))
+    gn_b = jnp.zeros((c,))
+    wqkv = jax.random.normal(k1, (c, 3 * c)) / np.sqrt(c)
+    bqkv = jnp.zeros((3 * c,))
+    wproj = jax.random.normal(k2, (c, c)) / np.sqrt(c)
+    bproj = jnp.zeros((c,))
+    ref = _attn_block_math(x, gn_s, gn_b, wqkv, bqkv, wproj, bproj, groups)
+    for bad in ("3", "0"):
+        monkeypatch.setenv("SDEFLOW_ATTN_PACK", bad)
         with force_interpret():
             out = _attn_block_pallas(x, gn_s, gn_b, wqkv, bqkv, wproj,
                                      bproj, groups)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   atol=5e-5), (t, c)
+                                   atol=5e-5, err_msg=f"pack={bad}")
