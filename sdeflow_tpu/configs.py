@@ -372,6 +372,57 @@ def _grf_dit(npixel=16):
     )
 
 
+def _grf_production(npixel=16):
+    """The production image preset: every measured-best knob from the
+    round-3/4/5 studies composed into ONE config (round-4 review item 7).
+
+    - bf16 compute (fp32 params/Adam/loss; bf16 beats fp32 on the image
+      forward after the fused AttentionBlock kernel — PERF_MEASURED.json),
+    - parameter EMA 0.999 with warmup (the biggest measured quality lever:
+      EMA wins 86-91/93 sampler-grid cells per seed, EMA_ABLATION.json /
+      ODE_STUDY_CPU_ema*.json; warmup-on beats raw in 4/4 short-budget
+      cells, EMA_WARMUP_*_1k.json),
+    - predictor-corrector sampling (em-32 + 1 Langevin corrector step:
+      halves the flagship MSGM image √MMD vs the reference rk4-2048 path
+      at 3.8x its rate and beats it on SGM in 3/3 seeds,
+      parity_image_ours_samplers.json / ODE_STUDY_CPU*.json),
+    - the reference's full 100k-iteration budget, fused 256-step dispatch.
+
+    Architecture: the attention U-Net (the full-budget-validated flagship;
+    GRF16_PRODUCTION.json carries this preset's measured end-to-end
+    quality + throughput). `grf16_production_dit` is the same bundle on
+    the DiT2D transformer."""
+    cfg = _grf(npixel)
+    return replace(
+        cfg,
+        name=f"grf{npixel}_production",
+        train=replace(
+            cfg.train,
+            compute_dtype="bfloat16",
+            ema_rate=0.999,  # ema_warmup=True is the default
+        ),
+        sweep=replace(
+            cfg.sweep,
+            sampler="sde",
+            backward_method="em",
+            corrector_steps=1,
+            num_stepss_backward=(32,),
+        ),
+    )
+
+
+def _grf_production_dit(npixel=16):
+    """grf16_production on the DiT2D score net (58.3% bf16 MFU vs the
+    U-Net's ~28% cap; full-budget quality evidence in
+    parity_image_ours_dit_full.json)."""
+    cfg = _grf_production(npixel)
+    return replace(
+        cfg,
+        name=f"grf{npixel}_production_dit",
+        train=replace(cfg.train, nn_archi="DiT2D", dit_patch=4),
+    )
+
+
 def _pod():
     # reference: MSGM_higherDim.py:298-307
     return ExperimentConfig(
@@ -486,6 +537,8 @@ PRESETS = {
     "grf16": lambda: _grf(16),
     "grf32": lambda: _grf(32),
     "grf16_dit": lambda: _grf_dit(16),
+    "grf16_production": lambda: _grf_production(16),
+    "grf16_production_dit": lambda: _grf_production_dit(16),
     "pod": _pod,
     "era5": _era5,
     "era5temp": _era5temp,

@@ -559,6 +559,127 @@ def sec_bf16_trainer():
     return out
 
 
+def _train_steps_per_s(train_step, state, key, sample_fn, batch,
+                       short=8, long=72):
+    """Slope-timed train steps/s: `long-short` steps inside ONE jitted
+    dynamic-bound fori_loop (same executable for both lengths, so compile
+    load on the tunnel stays at one program), state carried through."""
+    import time
+
+    import numpy as np
+
+    @jax.jit
+    def chain(state, n):
+        def body(i, carry):
+            st, _ = carry
+            k = jax.random.fold_in(key, i)
+            kd, kl = jax.random.split(k)
+            x = sample_fn(kd, batch)
+            return train_step(st, kl, x)
+
+        _, loss = jax.lax.fori_loop(
+            0, n, body, (state, jnp.zeros(()))
+        )
+        return loss
+
+    def run(n):
+        t0 = time.perf_counter()
+        np.asarray(chain(state, n))
+        return time.perf_counter() - t0
+
+    run(short), run(long)
+    ts = min(run(short) for _ in range(3))
+    tl = min(run(long) for _ in range(3))
+    return (long - short) / max(tl - ts, 1e-9)
+
+
+def sec_train_mfu():
+    """Characterize the SSM train step — the reference's actual hot loop
+    (reference SDEs.py:607-646 + MSGM_higherDim.py:800-850) — as FLOPs and
+    MFU, not just steps/s (round-4 review item 1): XLA-counted FLOPs of
+    (a) one score-net forward, (b) the SSM loss (forward + Hutchinson JVP),
+    (c) the full train step (loss + VJP backward + Adam), so the
+    fwd/JVP/VJP decomposition is explicit; steps/s slope-timed; train MFU =
+    step_flops x steps/s / peak. Covers the 16x16 image config on BOTH
+    architectures (attention U-Net and DiT2D), fp32 and bf16, batch 128
+    (the image-parity training batch), plus the MSGM DiT2D arm."""
+    import optax
+
+    from sdeflow_tpu.data import SmoothedGRF
+    from sdeflow_tpu.models import DiT2D, VorticityUNet
+    from sdeflow_tpu.sde import MSGMSde, SGMSde, PluginReverseSDE
+    from sdeflow_tpu.training import TrainState
+    from sdeflow_tpu.training.train import make_train_step
+    from sdeflow_tpu.utils import compiled_flops, peak_flops
+
+    key = jax.random.PRNGKey(0)
+    sampler = SmoothedGRF(npixel=16)
+    batch = 128
+    x_probe = sampler.sample(key, 8)
+    x = sampler.sample(jax.random.fold_in(key, 1), batch)
+    opt = optax.adam(1e-4)
+    peak = peak_flops()
+    out = {}
+
+    def make_model(archi, dtype):
+        if archi == "unet16":
+            return VorticityUNet(
+                base_channels=32, channel_mults=(1, 2, 4), num_res_blocks=2,
+                in_space=16, attention_resolutions=(2, 4),
+                flatten_order="F", dtype=dtype,
+            )
+        return DiT2D(in_space=16, patch=4, width=512, depth=6, heads=4,
+                     flatten_order="F", dtype=dtype)
+
+    sde = SGMSde.create(beta_min=0.4, beta_max=80.0, t_epsilon=4e-3,
+                        num_steps_forward=64)
+    t_vec = jnp.linspace(0.01, 1.0, batch)
+    for archi in ("unet16", "dit2d"):
+        for tag, dtype in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
+            model = make_model(archi, dtype)
+            variables = model.init(key, x_probe, jnp.zeros((8,)))
+            gen = PluginReverseSDE.create(sde, model.apply, variables)
+            state = TrainState(gen_sde=gen, opt_state=opt.init(gen.a_params),
+                               step=jnp.zeros((), jnp.int32))
+            pre = f"{archi}_sgm_b{batch}_{tag}"
+
+            fwd = jax.jit(lambda v, xi, ti, m=model: m.apply(v, xi, ti))
+            out[pre + "_fwd_flops"] = compiled_flops(fwd, variables, x, t_vec)
+            loss_fn = jax.jit(lambda k, xi, g=gen: g.ssm(k, xi).mean())
+            out[pre + "_loss_flops"] = compiled_flops(loss_fn, key, x)
+            step = make_train_step(opt)
+            out[pre + "_step_flops"] = compiled_flops(step, state, key, x)
+
+            sps = _train_steps_per_s(step, state, key, sampler.sample, batch)
+            out[pre + "_train_steps_per_s"] = sps
+            if peak:
+                out[pre + "_train_mfu"] = out[pre + "_step_flops"] * sps / peak
+            print(pre, out, flush=True)
+
+    # MSGM DiT2D arm (the unet16 MSGM twin already lives in sec_unet_trainer;
+    # this fills the dit2d_*_train gap): adds the 64-step circulant forward
+    # RK4 solve to every loss eval
+    x_init = sampler.sample(jax.random.fold_in(key, 2), 8192)
+    msgm = MSGMSde.create(key, x_init, beta_min=0.4, beta_max=80.0,
+                          t_epsilon=4e-3, num_steps_forward=64,
+                          dense_tensor=False, norm_map="log")
+    model = DiT2D(in_space=16, patch=4, width=512, depth=6, heads=4,
+                  premodule="NormalizeLogRadius", flatten_order="F")
+    variables = model.init(key, x_probe, jnp.zeros((8,)))
+    gen = PluginReverseSDE.create(msgm, model.apply, variables)
+    state = TrainState(gen_sde=gen, opt_state=opt.init(gen.a_params),
+                       step=jnp.zeros((), jnp.int32))
+    step = make_train_step(opt)
+    out["dit2d_msgm_b128_step_flops"] = compiled_flops(step, state, key, x)
+    sps = _train_steps_per_s(step, state, key, sampler.sample, batch)
+    out["dit2d_msgm_b128_train_steps_per_s"] = sps
+    if peak:
+        out["dit2d_msgm_b128_train_mfu"] = (
+            out["dit2d_msgm_b128_step_flops"] * sps / peak
+        )
+    return out
+
+
 def sec_dpm_sampling():
     """Low-NFE serving with the DPM-Solver++ 2M exponential integrator
     (ops/expint.py, SGM only): the same two SGM serving programs as the
@@ -771,6 +892,7 @@ SECTIONS = {
     "flash_fwd": sec_flash_fwd,
     "flash_bwd": sec_flash_bwd,
     "unet1d": sec_unet1d,
+    "train_mfu": sec_train_mfu,
     "dpm_sampling": sec_dpm_sampling,
     "dit": sec_dit,
     "dit2d": sec_dit2d,
