@@ -110,6 +110,41 @@ def unet_forward_mfu():
     return (flops / sec / peak if peak else None), imgs_per_s
 
 
+def dit2d_forward_mfu():
+    """MFU of the recommended production architecture for the same image
+    workload: DiT2D (models/dit.py) forward, B=2048, bf16 — the MXU-native
+    transformer that replaces the U-Net's small-channel convs with width-512
+    dense matmuls (PARITY.md "recommended production architecture")."""
+    from sdeflow_tpu.models import DiT2D
+    from sdeflow_tpu.utils import device_seconds, compiled_flops, peak_flops
+
+    key = jax.random.PRNGKey(0)
+    model = DiT2D(
+        in_space=UNET_SPACE,
+        patch=4,
+        width=512,
+        depth=6,
+        heads=4,
+        premodule="NormalizeLogRadius",
+        flatten_order="F",
+        dtype=jnp.bfloat16,
+    )
+    x = jax.random.normal(key, (UNET_BATCH, UNET_SPACE * UNET_SPACE))
+    t = jnp.linspace(0.01, 1.0, UNET_BATCH)
+    variables = model.init(key, x[:8], t[:8])
+
+    def fwd(xi):
+        return model.apply(variables, xi, t)
+
+    def step(i):
+        return fwd(x + 1e-6 * i).mean().astype(jnp.float32)
+
+    sec = device_seconds(step, short=1)
+    flops = compiled_flops(jax.jit(fwd), x)
+    peak = peak_flops()
+    return (flops / sec / peak if peak else None), UNET_BATCH / sec
+
+
 def main():
     from sdeflow_tpu.utils.cache import enable_compilation_cache
 
@@ -117,6 +152,7 @@ def main():
 
     value, mfu_sampling = sampling_benchmark()
     mfu_unet, unet_imgs_per_s = unet_forward_mfu()
+    mfu_dit2d, dit2d_imgs_per_s = dit2d_forward_mfu()
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BASELINE_MEASURED.json")
@@ -140,6 +176,12 @@ def main():
         "mfu": round(mfu_unet, 4) if mfu_unet else None,
         "mfu_model": "unet16_fwd_b2048_bf16",
         "unet16_fwd_b2048_bf16_imgs_per_s": round(unet_imgs_per_s, 1),
+        # the recommended production architecture for the same workload
+        # (PARITY.md): DiT2D forward at the same batch/space, bf16
+        "dit2d_fwd_b2048_bf16_mfu": (
+            round(mfu_dit2d, 4) if mfu_dit2d else None
+        ),
+        "dit2d_fwd_b2048_bf16_imgs_per_s": round(dit2d_imgs_per_s, 1),
         "mfu_sampling_d2_bandwidth_bound": (
             round(mfu_sampling, 5) if mfu_sampling else None
         ),

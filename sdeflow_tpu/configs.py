@@ -378,6 +378,10 @@ def _grf_production(npixel=16):
 
     - bf16 compute (fp32 params/Adam/loss; bf16 beats fp32 on the image
       forward after the fused AttentionBlock kernel — PERF_MEASURED.json),
+      paired with the eps output parameterization on the SGM arm (SGM +
+      bf16 + direct measured ~4x worse on quality,
+      BF16_ABLATION_UNET1D.json; the driver keeps MSGM direct — no
+      closed-form kernel),
     - parameter EMA 0.999 with warmup (the biggest measured quality lever:
       EMA wins 86-91/93 sampler-grid cells per seed, EMA_ABLATION.json /
       ODE_STUDY_CPU_ema*.json; warmup-on beats raw in 4/4 short-budget
@@ -400,6 +404,7 @@ def _grf_production(npixel=16):
             cfg.train,
             compute_dtype="bfloat16",
             ema_rate=0.999,  # ema_warmup=True is the default
+            parameterization="eps",  # SGM arm only; MSGM forced direct
         ),
         sweep=replace(
             cfg.sweep,

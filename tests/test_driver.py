@@ -91,6 +91,7 @@ def test_grf16_production_preset_composes_measured_best_knobs():
     the full reference budget (round-4 review item 7)."""
     cfg = get_preset("grf16_production")
     assert cfg.train.compute_dtype == "bfloat16"
+    assert cfg.train.parameterization == "eps"
     assert cfg.train.ema_rate == 0.999 and cfg.train.ema_warmup
     assert cfg.sweep.sampler == "sde"
     assert cfg.sweep.backward_method == "em"
