@@ -202,11 +202,12 @@ class AttentionBlock(nn.Module):
     softmax accumulates in fp32.
 
     attention_impl:
-      "auto"    -> heads==1 routes the WHOLE block (GroupNorm → qkv →
+      "auto"    -> heads 1-8 route the WHOLE block (GroupNorm → qkv →
                    core → proj → residual) through one fused Pallas
                    program on the no-grad TPU path (ops/pallas/attnblock.py
                    — the roofline showed ~10 XLA ops' worth of HBM round
-                   trips per block); autodiff and heads>1 use the identical
+                   trips per block; heads via a static in-kernel loop);
+                   autodiff and heads>8 use the identical unfused
                    composition (flash Pallas above the length threshold).
       "unfused" -> always the module-by-module composition.
       "ring"    -> sequence-parallel exact attention with the flattened
@@ -234,7 +235,7 @@ class AttentionBlock(nn.Module):
 
         x_flat = x.reshape(b, t, c)
 
-        if self.attention_impl == "auto" and self.num_heads == 1:
+        if self.attention_impl == "auto" and self.num_heads <= 8:
             # fused whole-block path: raw params from path-identical holders
             from sdeflow_tpu.ops.pallas.attnblock import fused_attention_block
 
@@ -248,7 +249,8 @@ class AttentionBlock(nn.Module):
                 name="proj_out",
             )()
             out = fused_attention_block(
-                x_flat, gn_scale, gn_bias, wqkv, bqkv, wproj, bproj, groups
+                x_flat, gn_scale, gn_bias, wqkv, bqkv, wproj, bproj, groups,
+                self.num_heads,
             )
             return out.reshape(b, *spatial, c)
 

@@ -39,9 +39,15 @@ def _attention_math(qkv, num_heads):
     ch = c // num_heads
     qkv = qkv.reshape(b, t, num_heads, 3 * ch)
     q, k, v = jnp.split(qkv, 3, axis=-1)
-    scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(ch, jnp.float32)))
-    w = jnp.einsum("bthc,bshc->bhts", q * scale, k * scale)
-    w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(qkv.dtype)
+    # compute-dtype scale: a concrete fp32 scalar would promote the score
+    # matmul operands (and their JVP/VJP in training) to fp32 — the
+    # measured bf16 train regression (TRAIN_BF16_DIAG.json). Scores
+    # accumulate in fp32 via preferred_element_type, like the kernels.
+    scale = (1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(ch, jnp.float32)))
+             ).astype(qkv.dtype)
+    w = jnp.einsum("bthc,bshc->bhts", q * scale, k * scale,
+                   preferred_element_type=jnp.float32)
+    w = jax.nn.softmax(w, axis=-1).astype(qkv.dtype)
     return jnp.einsum("bhts,bshc->bthc", w, v).reshape(b, t, c)
 
 
@@ -63,7 +69,10 @@ def _attention_flash_math(qkv, num_heads, kv_block=None):
     nk = t // kv_block
 
     qkv_h = qkv.reshape(b, t, num_heads, 3 * ch)
-    scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(ch, jnp.float32)))
+    # compute-dtype scale (see _attention_math): keep q/k — and their
+    # training JVP/VJP — in the compute dtype; tiles accumulate in fp32
+    scale = (1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(ch, jnp.float32)))
+             ).astype(qkv.dtype)
     q = qkv_h[..., :ch] * scale                       # (b, t, h, ch)
     k = (qkv_h[..., ch : 2 * ch] * scale).reshape(b, nk, kv_block, num_heads, ch)
     v = qkv_h[..., 2 * ch :].reshape(b, nk, kv_block, num_heads, ch)

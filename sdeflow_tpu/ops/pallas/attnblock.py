@@ -9,12 +9,16 @@ while holding ~0.3 ms of MXU work — the rest is HBM round trips between the
 softmax spill, proj, residual). Fusing the whole block keeps every
 intermediate in VMEM: one read of x, one write of the output.
 
-Scope: num_heads == 1 (every reference image config; model/unet.py:276-552
-defaults num_heads=1) and sequences that fit VMEM (T <= 256 covers all
+Scope: num_heads in 1..8 (every reference image config defaults
+num_heads=1, model/unet.py:276-552; heads > 1 widens the kernel to
+beyond-reference configs) and sequences that fit VMEM (T <= 256 covers all
 16x16/32x32 configs). The dispatcher falls back to the unfused module path
 otherwise. Same math as models.unet2d.AttentionBlock's composition
 (reference model/unet.py:198-250): GroupNorm32 eps 1e-5, qk pre-scaled by
-1/c^(1/4), fp32 softmax, zero-init proj.
+1/ch^(1/4), fp32 softmax, zero-init proj; heads split the qkv channels in
+the reference's interleaved per-head [q_h k_h v_h] layout
+(ops/pallas/attention._attention_math), via a static per-head loop in the
+kernel — Mosaic rejects 3D shape casts that split the lane dim.
 
 Autodiff: custom_jvp -> the identical jnp composition (`_attn_block_math`),
 so both reverse mode and the SSM loss's forward-mode JVP differentiate pure
@@ -34,24 +38,43 @@ from sdeflow_tpu.ops.pallas.common import pallas_enabled, interpret_mode
 from sdeflow_tpu.ops.pallas.groupnorm import EPS, _gn_math
 
 
-def _attn_block_math(x, gn_scale, gn_bias, wqkv, bqkv, wproj, bproj, groups):
+def _attn_block_math(x, gn_scale, gn_bias, wqkv, bqkv, wproj, bproj, groups,
+                     heads=1):
     """The unfused jnp composition (autodiff + off-TPU path). x: (B, T, C)."""
     h = _gn_math(x, gn_scale, gn_bias, groups, False)
     qkv = h @ wqkv.astype(h.dtype) + bqkv.astype(h.dtype)
-    c = x.shape[-1]
-    q, k, v = qkv[..., :c], qkv[..., c : 2 * c], qkv[..., 2 * c :]
-    scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(c, jnp.float32)))
-    w = jnp.einsum("btc,bsc->bts", q * scale, k * scale,
-                   preferred_element_type=jnp.float32)
-    w = jax.nn.softmax(w, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bts,bsc->btc", w, v)
+    b, t, c = x.shape
+    ch = c // heads
+    # cast the qk scale to the compute dtype: a concrete fp32 scalar would
+    # PROMOTE q/k to fp32 and the score matmul (and its whole JVP/VJP in
+    # training) would run with fp32 operands — measured as the entire bf16
+    # train-step regression (TRAIN_BF16_DIAG.json: attention backward
+    # +0.94 ms while conv/GN backward was 0.5 ms FASTER in bf16).
+    # Accumulation stays fp32 via preferred_element_type, like the kernel.
+    scale = (1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(ch, jnp.float32)))
+             ).astype(qkv.dtype)
+    if heads == 1:
+        q, k, v = qkv[..., :c], qkv[..., c : 2 * c], qkv[..., 2 * c :]
+        w = jnp.einsum("btc,bsc->bts", q * scale, k * scale,
+                       preferred_element_type=jnp.float32)
+        w = jax.nn.softmax(w, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bts,bsc->btc", w, v)
+    else:
+        # interleaved per-head [q_h k_h v_h] channel layout, matching
+        # ops/pallas/attention._attention_math (the unfused module path)
+        qkv_h = qkv.reshape(b, t, heads, 3 * ch)
+        q, k, v = jnp.split(qkv_h, 3, axis=-1)
+        w = jnp.einsum("bthc,bshc->bhts", q * scale, k * scale,
+                       preferred_element_type=jnp.float32)
+        w = jax.nn.softmax(w, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhts,bshc->bthc", w, v).reshape(b, t, c)
     out = out @ wproj.astype(out.dtype) + bproj.astype(out.dtype)
     return x + out
 
 
 def _attn_block_kernel(x_ref, gn_scale_ref, gn_bias_ref, gmap_ref, wqkv_ref,
                        bqkv_ref, wproj_ref, bproj_ref, o_ref, *, groups,
-                       pack):
+                       pack, heads):
     x = x_ref[:]  # (Bb, T, C) compute dtype
     bb, t, c = x.shape
     # sub-fp32 compute dtypes keep activations native end to end (fp32 is
@@ -103,38 +126,56 @@ def _attn_block_kernel(x_ref, gn_scale_ref, gn_bias_ref, gmap_ref, wqkv_ref,
     # discards a padded neighbour's garbage scores even when they decode to
     # NaN/Inf (garbage + -inf would be NaN and poison the softmax row of a
     # REAL sample sharing the pack group).
-    scale = (1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(c, jnp.float32)))
+    ch = c // heads
+    scale = (1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(ch, jnp.float32)))
              ).astype(qkv.dtype)  # keep the score matmul operands in x.dtype
-    q = qkv[:, :, :c] * scale
-    k = qkv[:, :, c : 2 * c] * scale
-    v = qkv[:, :, 2 * c :]
     if pack > 1:
         pt = pack * t
-        q = q.reshape(bb // pack, pt, c)
-        k = k.reshape(bb // pack, pt, c)
-        v = v.reshape(bb // pack, pt, c)
         row = jax.lax.broadcasted_iota(jnp.int32, (pt, pt), 0) // t
         col = jax.lax.broadcasted_iota(jnp.int32, (pt, pt), 1) // t
         same = row == col
-    s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (Bb/pack, pack*T, pack*T)
-    if pack > 1:
-        s = jnp.where(same[None], s, -jnp.inf)
-    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
-    out = jax.lax.dot_general(
-        p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    if pack > 1:
-        out = out.reshape(bb, t, c)  # (Bb, T, C) fp32
+
+    def head_core(q, k, v):
+        # q, k, v: (Bb, T, ch) -> fp32 (Bb, T, ch)
+        if pack > 1:
+            q = q.reshape(bb // pack, pt, ch)
+            k = k.reshape(bb // pack, pt, ch)
+            v = v.reshape(bb // pack, pt, ch)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (Bb/pack, pack*T, pack*T)
+        if pack > 1:
+            s = jnp.where(same[None], s, -jnp.inf)
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        o = jax.lax.dot_general(
+            p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        return o.reshape(bb, t, ch) if pack > 1 else o
+
+    if heads == 1:
+        out = head_core(qkv[:, :, :c] * scale, qkv[:, :, c : 2 * c] * scale,
+                        qkv[:, :, 2 * c :])
+    else:
+        # static per-head loop over interleaved [q_h k_h v_h] channel
+        # slices (the module path's head layout); Mosaic rejects the
+        # lane-splitting (Bb, T, C) -> (Bb, T, H, ch) shape cast
+        outs = []
+        for hh in range(heads):
+            base = hh * 3 * ch
+            outs.append(head_core(
+                qkv[:, :, base : base + ch] * scale,
+                qkv[:, :, base + ch : base + 2 * ch] * scale,
+                qkv[:, :, base + 2 * ch : base + 3 * ch],
+            ))
+        out = jnp.concatenate(outs, axis=-1)  # (Bb, T, C) fp32
 
     # --- output projection + residual (fp32 accumulation in the matmul;
     # the add itself runs in compute dtype on the native path, matching
     # the _attn_block_math composition at sub-fp32 dtypes)
     out = jax.lax.dot_general(
-        out.astype(v.dtype), wproj_ref[:],
+        out.astype(qkv.dtype), wproj_ref[:],
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bproj_ref[:].astype(jnp.float32)
@@ -145,7 +186,7 @@ def _attn_block_kernel(x_ref, gn_scale_ref, gn_bias_ref, gmap_ref, wqkv_ref,
 
 
 def _attn_block_pallas(x, gn_scale, gn_bias, wqkv, bqkv, wproj, bproj,
-                       groups):
+                       groups, heads=1):
     b, t, c = x.shape
     pad = lambda nn: ((nn + 127) // 128) * 128  # noqa: E731
     itemsize = jnp.dtype(x.dtype).itemsize
@@ -182,7 +223,7 @@ def _attn_block_pallas(x, gn_scale, gn_bias, wqkv, bqkv, wproj, bproj,
     row = lambda nn: pl.BlockSpec((1, nn), lambda i: (0, 0),  # noqa: E731
                                   memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        partial(_attn_block_kernel, groups=groups, pack=pack),
+        partial(_attn_block_kernel, groups=groups, pack=pack, heads=heads),
         grid=(pl.cdiv(b, blk),),
         in_specs=[
             pl.BlockSpec((blk, t, c), lambda i: (i, 0, 0),
@@ -207,20 +248,20 @@ def _attn_block_pallas(x, gn_scale, gn_bias, wqkv, bqkv, wproj, bproj,
 _FUSED_MAX_T = 256
 
 
-@partial(jax.custom_jvp, nondiff_argnums=(7,))
+@partial(jax.custom_jvp, nondiff_argnums=(7, 8))
 def fused_attention_block(x, gn_scale, gn_bias, wqkv, bqkv, wproj, bproj,
-                          groups):
-    """x: (B, T, C) -> (B, T, C); the whole heads==1 AttentionBlock.
+                          groups, heads=1):
+    """x: (B, T, C) -> (B, T, C); the whole 1-8-head AttentionBlock.
     Pallas on the no-grad TPU path when T fits VMEM; jnp math otherwise."""
     if pallas_enabled() and x.shape[1] <= _FUSED_MAX_T:
         return _attn_block_pallas(x, gn_scale, gn_bias, wqkv, bqkv, wproj,
-                                  bproj, groups)
+                                  bproj, groups, heads)
     return _attn_block_math(x, gn_scale, gn_bias, wqkv, bqkv, wproj, bproj,
-                            groups)
+                            groups, heads)
 
 
 @fused_attention_block.defjvp
-def _fused_attention_block_jvp(groups, primals, tangents):
+def _fused_attention_block_jvp(groups, heads, primals, tangents):
     return jax.jvp(
-        lambda *a: _attn_block_math(*a, groups), primals, tangents
+        lambda *a: _attn_block_math(*a, groups, heads), primals, tangents
     )

@@ -98,7 +98,11 @@ def ring_attention(qkv, num_heads, mesh: Mesh, axis: str = "model"):
     def run(qkv_local):
         bl, tl, _ = qkv_local.shape
         qkv_h = qkv_local.reshape(bl, tl, num_heads, 3 * ch)
-        scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(ch, jnp.float32)))
+        # compute-dtype scale (see ops/pallas/attention._attention_math):
+        # an fp32 scalar would promote q/k — and the score matmuls on
+        # every ring hop — to fp32 in bf16 mode
+        scale = (1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(ch, jnp.float32)))
+                 ).astype(qkv_h.dtype)
         q = jnp.moveaxis(qkv_h[..., :ch] * scale, 2, 1)          # (b,h,tl,ch)
         k = jnp.moveaxis(qkv_h[..., ch : 2 * ch] * scale, 2, 1)
         v = jnp.moveaxis(qkv_h[..., 2 * ch :], 2, 1)

@@ -332,7 +332,10 @@ def test_fused_attention_block_kernel_matches_math(rng):
         _attn_block_math, _attn_block_pallas,
     )
 
-    for dtype, atol in ((jnp.float32, 5e-5), (jnp.bfloat16, 2e-2)):
+    # bf16: kernel and math both run compute-dtype score operands with
+    # fp32 accumulation, but packing reorders the accumulation — a few
+    # elements land one bf16 ulp (~0.03 at these magnitudes) apart
+    for dtype, atol in ((jnp.float32, 5e-5), (jnp.bfloat16, 4e-2)):
         for t, c in ((64, 64), (16, 128)):
             x = jax.random.normal(rng, (4, t, c)).astype(dtype)
             k1, k2 = jax.random.split(jax.random.fold_in(rng, t))
@@ -352,6 +355,59 @@ def test_fused_attention_block_kernel_matches_math(rng):
             np.testing.assert_allclose(
                 np.asarray(out, np.float32), np.asarray(ref, np.float32),
                 atol=atol, err_msg=f"{dtype} t={t} c={c}")
+
+
+def test_fused_attention_block_multihead(rng):
+    """heads > 1 (static in-kernel head loop): the math twin matches the
+    unfused MODULE composition — layout parity with attention_core's
+    interleaved per-head [q_h k_h v_h] channel split — and the Pallas
+    kernel (interpret mode) matches the math twin in fp32 and bf16 at both
+    U-Net attention shapes, with sample packing active."""
+    from sdeflow_tpu.models.unet2d import AttentionBlock
+    from sdeflow_tpu.ops.pallas.attnblock import (
+        _attn_block_math, _attn_block_pallas,
+    )
+
+    c = 64
+    fused = AttentionBlock(channels=c, num_heads=4)
+    unfused = AttentionBlock(channels=c, num_heads=4,
+                             attention_impl="unfused")
+    x = jax.random.normal(rng, (2, 4, 4, c))
+    v = fused.init(rng, x)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(unfused.init(rng, x)))
+    v = jax.tree_util.tree_map(lambda a: a + 0.05 * jnp.ones_like(a), v)
+    np.testing.assert_allclose(np.asarray(fused.apply(v, x)),
+                               np.asarray(unfused.apply(v, x)), atol=2e-5)
+    # forward-mode JVP (the SSM loss path) agrees too
+    v_t = jax.random.normal(jax.random.fold_in(rng, 1), x.shape)
+    _, tan = jax.jvp(lambda xi: fused.apply(v, xi), (x,), (v_t,))
+    _, tan_u = jax.jvp(lambda xi: unfused.apply(v, xi), (x,), (v_t,))
+    np.testing.assert_allclose(np.asarray(tan), np.asarray(tan_u),
+                               rtol=1e-4, atol=1e-5)
+
+    for heads in (2, 4):
+        # bf16 atol looser than the single-head test: the packed per-head
+        # kernel and the einsum math accumulate in different orders
+        for dtype, atol in ((jnp.float32, 5e-5), (jnp.bfloat16, 4e-2)):
+            for t, cc in ((64, 64), (16, 128)):
+                xk = jax.random.normal(rng, (4, t, cc)).astype(dtype)
+                k1, k2 = jax.random.split(jax.random.fold_in(rng, t + heads))
+                gn_s = 1.0 + 0.1 * jax.random.normal(k1, (cc,))
+                gn_b = 0.1 * jax.random.normal(k2, (cc,))
+                wqkv = jax.random.normal(k1, (cc, 3 * cc)) / np.sqrt(cc)
+                bqkv = 0.01 * jax.random.normal(k2, (3 * cc,))
+                wproj = jax.random.normal(k2, (cc, cc)) / np.sqrt(cc)
+                bproj = 0.01 * jax.random.normal(k1, (cc,))
+                ref = _attn_block_math(xk, gn_s, gn_b, wqkv, bqkv, wproj,
+                                       bproj, 32, heads)
+                with force_interpret():
+                    out = _attn_block_pallas(xk, gn_s, gn_b, wqkv, bqkv,
+                                             wproj, bproj, 32, heads)
+                assert out.dtype == dtype
+                np.testing.assert_allclose(
+                    np.asarray(out, np.float32), np.asarray(ref, np.float32),
+                    atol=atol, err_msg=f"heads={heads} {dtype} t={t} c={cc}")
 
 
 def test_attn_pack_env_override_rounds_to_power_of_two(rng, monkeypatch):
