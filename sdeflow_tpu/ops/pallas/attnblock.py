@@ -208,8 +208,13 @@ def _attn_block_pallas(x, gn_scale, gn_bias, wqkv, bqkv, wproj, bproj,
     )
     # 14 MB estimate keeps the kernel under Mosaic's 16 MB scoped-vmem
     # stack limit (32 MB measured-OOM at the b2048 fp32 shape); the
-    # estimate intentionally double-counts transients as slack
-    fit = max(1, (14 << 20) // bytes_per_elem)
+    # estimate intentionally double-counts transients as slack.
+    # SDEFLOW_ATTN_VMEM_MB overrides the budget (clamped to 1..24) for
+    # batch-tile experiments — a bigger tile halves the grid-step count
+    # (the T=64 kernel runs ~10x off its DMA floor, ATTNBLOCK_MICRO.json).
+    _vm = _os.environ.get("SDEFLOW_ATTN_VMEM_MB", "")
+    vmem_mb = max(1, min(24, int(_vm))) if _vm else 14
+    fit = max(1, (vmem_mb << 20) // bytes_per_elem)
     fit = 1 << (fit.bit_length() - 1)
     blk = min(fit, b)
     # pack must divide the batch tile (both are powers of two unless the
