@@ -5,9 +5,14 @@ set -x
 cd /root/repo
 
 probe() {
-  timeout 300 python -c "
+  for i in 1 2 3 4 5 6; do
+    timeout 300 python -c "
 import jax, jax.numpy as jnp
-print('probe ok', (jnp.ones((256,256))@jnp.ones((256,256))).sum())" || exit 1
+print('probe ok', float((jnp.ones((256,256))@jnp.ones((256,256))).sum()))" && return 0
+    echo "probe attempt $i failed; waiting 300s for the tunnel to recover"
+    sleep 300
+  done
+  echo "tunnel did not recover after 6 probes"; exit 1
 }
 
 probe
